@@ -1,0 +1,158 @@
+"""Generic two-level ADMM driver.
+
+Reference: ``/root/reference/src/algorithms/admm_two_level.jl``. The outer
+augmented-Lagrangian loop stays on the host (<= ``outer_iterlim`` trips, a few
+scalars read back per trip); the entire inner ADMM loop runs on-device as one
+jitted ``lax.while_loop`` — the TPU-native replacement for the reference's
+per-iteration kernel launches with device->host norm readbacks.
+
+Inner iteration order (admm_two_level.jl:34-63):
+    z_prev <- z;  x;  xbar;  z;  l;  residual
+with the adaptive inner tolerance eps_pri = sqrt(nvar)/(2500*outer) and break
+when primres <= eps_pri. Outer: converged when ||u - v|| <= sqrt(nvar)*
+outer_eps; otherwise lz <- clamp(lz + beta z) and beta <- min(inc_c*beta,
+1e24) when ||z|| > theta*||z_prev||.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.environment import IterationInformation, Solution
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class InnerCarry:
+    sol: Solution
+    inner: jnp.ndarray     # i32
+    primres: jnp.ndarray
+    dualres: jnp.ndarray
+    norm_z: jnp.ndarray
+    mismatch: jnp.ndarray
+    objval: jnp.ndarray
+    auglag: jnp.ndarray
+    avg_auglag_it: jnp.ndarray
+    avg_minor_it: jnp.ndarray
+
+
+def _one_inner_iteration(model, carry: InnerCarry, beta) -> InnerCarry:
+    from ..models.acopf import model as M  # hooks (works for any model exposing them)
+
+    sol = carry.sol
+    sol = sol.replace(z_prev=sol.z)                     # inner prestep
+    inner = carry.inner + 1
+    sol, stats = M.update_x(model, sol, inner)
+    sol = M.update_xbar(model, sol)
+    sol = M.update_z(model, sol, beta)
+    sol = M.update_l(model, sol, beta)
+    sol, scalars = M.update_residual(model, sol, beta)
+    return InnerCarry(
+        sol=sol,
+        inner=inner,
+        primres=scalars["primres"],
+        dualres=scalars["dualres"],
+        norm_z=scalars["norm_z_curr"],
+        mismatch=scalars["mismatch"],
+        objval=scalars["objval"],
+        auglag=scalars["auglag"],
+        avg_auglag_it=stats["avg_auglag_it"],
+        avg_minor_it=stats["avg_minor_it"],
+    )
+
+
+def make_inner_loop(model, inner_iterlim: int):
+    """Build the jitted on-device inner loop for a model instance."""
+    sqrt_d = float(model.nvar) ** 0.5
+
+    @jax.jit
+    def run_inner(sol: Solution, beta, outer):
+        eps_pri = sqrt_d / (2500.0 * outer)
+
+        def cond(c: InnerCarry):
+            return (c.inner < inner_iterlim) & (c.primres > eps_pri)
+
+        def body(c: InnerCarry):
+            return _one_inner_iteration(model, c, beta)
+
+        dt = sol.u.gen.dtype
+        c0 = InnerCarry(
+            sol=sol,
+            inner=jnp.zeros((), jnp.int32),
+            primres=jnp.asarray(jnp.inf, dt),
+            dualres=jnp.asarray(jnp.inf, dt),
+            norm_z=jnp.asarray(jnp.inf, dt),
+            mismatch=jnp.asarray(jnp.inf, dt),
+            objval=jnp.asarray(0.0, dt),
+            auglag=jnp.asarray(0.0, dt),
+            avg_auglag_it=jnp.asarray(0.0, dt),
+            avg_minor_it=jnp.asarray(0.0, dt),
+        )
+        return lax.while_loop(cond, body, c0)
+
+    return run_inner
+
+
+def admm_two_level(model, sol: Solution, info: IterationInformation | None = None):
+    """Run the two-level ADMM; returns (sol, info)."""
+    from ..models.acopf import model as M
+
+    par = model.par
+    info = info or IterationInformation()
+    sqrt_d = float(model.nvar) ** 0.5
+    outer_tol = sqrt_d * par.outer_eps
+
+    run_inner = make_inner_loop(model, par.inner_iterlim)
+    lz_step = jax.jit(lambda s, b: M.update_lz(model, s, b))
+
+    beta = par.initial_beta
+    info.status = "IterationLimit"
+    info.norm_z_curr = info.norm_z_prev = float("inf")
+
+    if par.verbose > 0:
+        print(f"{'Outer':>6} {'Inner':>6} {'Objval':>12} {'AugLag':>12} "
+              f"{'PrimRes':>10} {'EpsPrim':>10} {'DualRes':>10} {'||z||':>10} "
+              f"{'Mismatch':>10} {'OuterTol':>10} {'Beta':>10}")
+
+    t0 = time.perf_counter()
+    while info.outer < par.outer_iterlim:
+        info.outer += 1
+        info.norm_z_prev = info.norm_z_curr  # outer prestep: save ||z||
+
+        carry = run_inner(sol, jnp.asarray(beta, sol.u.gen.dtype),
+                          jnp.asarray(float(info.outer), sol.u.gen.dtype))
+        sol = carry.sol
+        info.inner = int(carry.inner)
+        info.cumul += info.inner
+        info.primres = float(carry.primres)
+        info.dualres = float(carry.dualres)
+        info.norm_z_curr = float(carry.norm_z)
+        info.mismatch = float(carry.mismatch)
+        info.objval = float(carry.objval)
+        info.auglag = float(carry.auglag)
+        info.eps_pri = sqrt_d / (2500.0 * info.outer)
+
+        if par.verbose > 0:
+            print(f"{info.outer:>6d} {info.inner:>6d} {info.objval:>12.5e} "
+                  f"{info.auglag:>12.5e} {info.primres:>10.3e} "
+                  f"{info.eps_pri:>10.3e} {info.dualres:>10.3e} "
+                  f"{info.norm_z_curr:>10.3e} {info.mismatch:>10.3e} "
+                  f"{outer_tol:>10.3e} {beta:>10.3e}")
+
+        if info.mismatch <= outer_tol:
+            info.status = "Solved"
+            break
+
+        sol = lz_step(sol, jnp.asarray(beta, sol.u.gen.dtype))
+
+        if info.norm_z_curr > par.theta * info.norm_z_prev:
+            beta = min(par.inc_c * beta, 1e24)
+
+    info.time_overall = time.perf_counter() - t0
+    par.beta = beta
+    return sol, info

@@ -1,0 +1,92 @@
+"""User-facing single-period ACOPF solve.
+
+Reference: ``/root/reference/src/interface/solve_acopf.jl``. Device selection
+collapses to JAX platform choice (``backend=`` kwarg) — there is a single
+implementation instead of CPU/CUDA/KA triplicates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..algorithms.admm_two_level import admm_two_level
+from ..models.acopf import model as M
+from ..utils.environment import IterationInformation, Parameters, Solution
+from ..utils.opfdata import OPFData, opf_loaddata
+
+
+@dataclasses.dataclass
+class SolveResult:
+    data: OPFData
+    model: "M.ModelAcopf"
+    solution: Solution
+    info: IterationInformation
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def solve_acopf(
+    case: str,
+    *,
+    case_format: str = "matpower",
+    outer_iterlim: int = 20,
+    inner_iterlim: int = 1000,
+    rho_pq: float = 400.0,
+    rho_va: float = 40000.0,
+    obj_scale: float = 1.0,
+    scale: float = 1e-4,
+    use_linelimit: bool = True,
+    use_projection: bool = False,
+    tight_factor: float = 1.0,
+    outer_eps: float = 2e-4,
+    verbose: int = 1,
+    dtype=None,
+    pad_lines_to: int = 1,
+    backend: str | None = None,
+) -> SolveResult:
+    dtype = dtype or _default_dtype()
+    data = opf_loaddata(case, case_format=case_format, verbose=verbose)
+
+    par = Parameters(
+        outer_iterlim=outer_iterlim,
+        inner_iterlim=inner_iterlim,
+        obj_scale=obj_scale,
+        scale=scale,
+        outer_eps=outer_eps,
+        verbose=verbose,
+    )
+
+    device_ctx = (
+        jax.default_device(jax.devices(backend)[0]) if backend else _nullcontext()
+    )
+    with device_ctx:
+        model = M.build_model(
+            data, par,
+            use_linelimit=use_linelimit,
+            tight_factor=tight_factor,
+            pad_lines_to=pad_lines_to,
+            dtype=dtype,
+        )
+        sol = init_sol = M.init_solution(model, rho_pq, rho_va)
+        sol, info = admm_two_level(model, sol)
+
+        if use_projection:
+            from ..models.pf.projection import pf_projection
+            sol, proj_info = pf_projection(data, model, sol)
+            info.time_projection = proj_info.get("time", 0.0)
+
+    del init_sol
+    return SolveResult(data=data, model=model, solution=sol, info=info)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,178 @@
+"""Batched branch (transmission-line) subproblem solver — the hot kernel.
+
+Re-design of the reference per-line CUDA-block kernel
+``auglag_linelimit_two_level_alternative``
+(``/root/reference/src/models/acopf/acopf_auglag_linelimit_kernel_{cpu,gpu}.jl``):
+each line solves a 6-variable nonconvex NLP in polar coordinates
+
+    x = (v_i, v_j, th_i, th_j, s_ij, s_ji)
+
+with box bounds (Vm/Va bounds; slack in [-rateA, 0]) and the two line-limit
+equalities  p^2 + q^2 + s = 0  handled by an inner augmented Lagrangian.
+The objective is the ADMM proximal term: lam.flow + 0.5 rho (flow - (v-z))^2
+over the 8 flow/voltage quantities of the line
+(acopf_eval_linelimit_kernel_cpu.jl:1-46).
+
+Instead of 32 CUDA threads per line with hand-derived gradients/Hessians in
+shared memory, every line is a lane of :func:`~exaadmm_tpu.ops.tron.
+tron_alm_batched`; derivatives come from autodiff.
+
+The 4-variable no-line-limit variant mirrors the semantics of ExaTron's
+``polar_kernel_two_level_alternative`` (referenced at
+acopf_admm_update_x_cpu.jl:32-35; the implementation ships with ExaTron):
+same proximal objective without slacks or ALM rounds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...ops.tron import tron_alm_batched, tron_batched
+from ...utils.environment import BranchALMState, Parameters, Solution
+from ...utils.grid_data import GridData
+
+
+def _flows(x, p):
+    """Branch power flows in polar form (acopf_eval_linelimit_kernel_cpu.jl:11-16)."""
+    vi, vj, thi, thj = x[0], x[1], x[2], x[3]
+    cos_ij = jnp.cos(thi - thj)
+    sin_ij = jnp.sin(thi - thj)
+    vv_cos = vi * vj * cos_ij
+    vv_sin = vi * vj * sin_ij
+    pij = p["YffR"] * vi**2 + p["YftR"] * vv_cos + p["YftI"] * vv_sin
+    qij = -p["YffI"] * vi**2 - p["YftI"] * vv_cos + p["YftR"] * vv_sin
+    pji = p["YttR"] * vj**2 + p["YtfR"] * vv_cos - p["YtfI"] * vv_sin
+    qji = -p["YttI"] * vj**2 - p["YtfI"] * vv_cos - p["YtfR"] * vv_sin
+    return pij, qij, pji, qji
+
+
+def _prox_terms(x, p, pij, qij, pji, qji):
+    vi, vj, thi, thj = x[0], x[1], x[2], x[3]
+    eight = (pij, qij, pji, qji, vi**2, vj**2, thi, thj)
+    f = jnp.asarray(0.0, x.dtype)
+    for k, w in enumerate(eight):
+        f = f + p["l"][k] * w + 0.5 * p["rho"][k] * (w - p["t"][k]) ** 2
+    return f
+
+
+def branch_obj_linelimit(x, p, lam, mu):
+    """Full ALM objective of the 6-var line-limit problem, times `scale`."""
+    pij, qij, pji, qji = _flows(x, p)
+    f = _prox_terms(x, p, pij, qij, pji, qji)
+    c1 = pij**2 + qij**2 + x[4]
+    c2 = pji**2 + qji**2 + x[5]
+    f = f + lam[0] * c1 + lam[1] * c2 + 0.5 * mu * (c1**2 + c2**2)
+    return f * p["scale"]
+
+
+def branch_cons_linelimit(x, p):
+    pij, qij, pji, qji = _flows(x, p)
+    return jnp.stack([pij**2 + qij**2 + x[4], pji**2 + qji**2 + x[5]])
+
+
+def branch_obj_polar(x, p):
+    """4-var objective without line limits."""
+    pij, qij, pji, qji = _flows(x, p)
+    return _prox_terms(x, p, pij, qij, pji, qji) * p["scale"]
+
+
+def _branch_params(sol: Solution, gd: GridData, par: Parameters):
+    t = sol.v.line - sol.z.line  # prox target (membuf rows 17-24)
+    return {
+        "YffR": gd.YffR, "YffI": gd.YffI,
+        "YftR": gd.YftR, "YftI": gd.YftI,
+        "YttR": gd.YttR, "YttI": gd.YttI,
+        "YtfR": gd.YtfR, "YtfI": gd.YtfI,
+        "l": sol.l.line, "rho": sol.rho.line, "t": t,
+        "scale": jnp.full((gd.nline_padded,), par.scale, t.dtype),
+    }
+
+
+def _warm_start_x0(u_line, gd: GridData, use_linelimit: bool):
+    """Warm start from current u (auglag kernel :42-47) and bounds."""
+    vi0 = jnp.clip(jnp.sqrt(jnp.maximum(u_line[:, 4], 0.0)),
+                   gd.fr_vm_bound[:, 0], gd.fr_vm_bound[:, 1])
+    vj0 = jnp.clip(jnp.sqrt(jnp.maximum(u_line[:, 5], 0.0)),
+                   gd.to_vm_bound[:, 0], gd.to_vm_bound[:, 1])
+    ti0 = jnp.clip(u_line[:, 6], gd.fr_va_bound[:, 0], gd.fr_va_bound[:, 1])
+    tj0 = jnp.clip(u_line[:, 7], gd.to_va_bound[:, 0], gd.to_va_bound[:, 1])
+    cols = [vi0, vj0, ti0, tj0]
+    lo = [gd.fr_vm_bound[:, 0], gd.to_vm_bound[:, 0],
+          gd.fr_va_bound[:, 0], gd.to_va_bound[:, 0]]
+    hi = [gd.fr_vm_bound[:, 1], gd.to_vm_bound[:, 1],
+          gd.fr_va_bound[:, 1], gd.to_va_bound[:, 1]]
+    if use_linelimit:
+        sij0 = jnp.clip(-(u_line[:, 0] ** 2 + u_line[:, 1] ** 2), -gd.rate_a, 0.0)
+        sji0 = jnp.clip(-(u_line[:, 2] ** 2 + u_line[:, 3] ** 2), -gd.rate_a, 0.0)
+        cols += [sij0, sji0]
+        lo += [-gd.rate_a, -gd.rate_a]
+        hi += [jnp.zeros_like(gd.rate_a), jnp.zeros_like(gd.rate_a)]
+    x0 = jnp.stack(cols, axis=-1)
+    xl = jnp.stack(lo, axis=-1)
+    xu = jnp.stack(hi, axis=-1)
+    return x0, xl, xu
+
+
+def branch_update(
+    sol: Solution, gd: GridData, par: Parameters, inner_iter,
+    use_linelimit: bool = True,
+):
+    """Solve all line subproblems; returns (new u line block, new ALM state, stats).
+
+    ``inner_iter`` is the (1-based) inner-iteration counter: the ALM penalty
+    restarts at 10 on the first inner iteration of each outer loop, matching
+    membuf row 27 handling (auglag kernel :81-87); the multipliers lam1/lam2
+    warm-start across all iterations.
+    """
+    params = _branch_params(sol, gd, par)
+    u_line = sol.u.line
+    alm = sol.branch_alm
+    active0 = gd.line_mask > 0.5
+
+    if use_linelimit:
+        x0, xl, xu = _warm_start_x0(u_line, gd, True)
+        mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
+        lam0 = jnp.stack([alm.lam1, alm.lam2], axis=-1)
+        res = tron_alm_batched(
+            branch_obj_linelimit, branch_cons_linelimit,
+            x0, xl, xu, params, lam0, mu0,
+            gtol=par.tron_gtol, frtol=par.tron_frtol, ctol=par.alm_ctol,
+            mu_max=par.mu_max, max_minor=par.tron_max_minor,
+            max_auglag=par.max_auglag, active0=active0,
+        )
+        new_alm = BranchALMState(lam1=res.lam[:, 0], lam2=res.lam[:, 1], mu=res.mu)
+        x = res.x
+    else:
+        x0, xl, xu = _warm_start_x0(u_line, gd, False)
+        res = tron_batched(
+            branch_obj_polar, x0, xl, xu, params,
+            gtol=par.tron_gtol, frtol=par.tron_frtol,
+            max_minor=par.tron_max_minor, active0=active0,
+        )
+        new_alm = alm
+        x = res.x
+
+    vi, vj, thi, thj = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+    cos_ij = jnp.cos(thi - thj)
+    sin_ij = jnp.sin(thi - thj)
+    vv_cos = vi * vj * cos_ij
+    vv_sin = vi * vj * sin_ij
+    u_new = jnp.stack([
+        gd.YffR * vi**2 + gd.YftR * vv_cos + gd.YftI * vv_sin,
+        -gd.YffI * vi**2 - gd.YftI * vv_cos + gd.YftR * vv_sin,
+        gd.YttR * vj**2 + gd.YtfR * vv_cos - gd.YtfI * vv_sin,
+        -gd.YttI * vj**2 - gd.YtfI * vv_cos - gd.YtfR * vv_sin,
+        vi**2,
+        vj**2,
+        thi,
+        thj,
+    ], axis=-1)
+    # padded lanes keep their previous (zero) state
+    u_new = jnp.where(active0[:, None], u_new, u_line)
+
+    stats = {
+        "avg_auglag_it": jnp.sum(res.alm_iters * gd.line_mask) / gd.nline,
+        "avg_minor_it": jnp.sum(res.minor_iters * gd.line_mask) / gd.nline,
+        "max_cviol": jnp.max(jnp.where(active0, res.cviol, 0.0)),
+    }
+    return u_new, new_alm, stats

@@ -1,0 +1,222 @@
+"""Closed-form ACOPF component updates (generator, bus, z/l/lz, residual).
+
+Batched jnp re-designs of the reference per-component CUDA kernels:
+
+- generator update: reference ``generator_kernel_two_level``
+  (acopf_generator_kernel_cpu.jl:11-16) — a box-projected proximal step per
+  generator, here one fused elementwise op on the (ngen, 2) block.
+- bus update: reference ``bus_kernel_two_level_alternative``
+  (acopf_bus_kernel_cpu.jl:12-116) — per-bus aggregation over incident
+  lines/generators + a hand-solved 2x2 KKT system; here the CSR loops become
+  ``jax.ops.segment_sum`` over line/gen -> bus segment ids and the writeback
+  becomes gathers.
+- z / l / lz / residual updates: reference acopf_admm_update_{z,l,lz,residual}
+  — pure elementwise on all blocks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import ops as jops
+
+from ...utils.environment import Blocks, blocks_map, blocks_norm
+from ...utils.grid_data import GridData
+
+
+def generator_update(
+    u_gen, v_gen, z_gen, l_gen, rho_gen,
+    pgmin, pgmax, qgmin, qgmax, c2_eff, c1_eff, baseMVA,
+):
+    """One proximal generator step; returns the new (ngen, 2) u block.
+
+    pg = clip((-(c1*B + l + rho*(z - v))) / (2 c2 B^2 + rho));  qg analogous
+    without the cost terms (acopf_generator_kernel_cpu.jl:11-16).
+    """
+    lp, lq = l_gen[:, 0], l_gen[:, 1]
+    rp_, rq = rho_gen[:, 0], rho_gen[:, 1]
+    vp, vq = v_gen[:, 0], v_gen[:, 1]
+    zp, zq = z_gen[:, 0], z_gen[:, 1]
+
+    pg = (-(c1_eff * baseMVA + lp + rp_ * (-vp + zp))) / (2.0 * c2_eff * baseMVA**2 + rp_)
+    qg = (-(lq + rq * (-vq + zq))) / rq
+    pg = jnp.clip(pg, pgmin, pgmax)
+    qg = jnp.clip(qg, qgmin, qgmax)
+    return jnp.stack([pg, qg], axis=-1)
+
+
+def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
+               Pd=None, Qd=None) -> Blocks:
+    """Bus consensus (xbar) update; returns the new v Blocks.
+
+    Vectorised form of acopf_bus_kernel_cpu.jl:12-116. Per bus the optimality
+    system for the two power-balance multipliers (mu1, mu2) is 2x2 linear
+    (including shunt coupling through the shared w_i); solved in closed form
+    with the same expression ordering as the reference (:85-93).
+
+    Pd/Qd default to the static grid loads; pass per-period columns for
+    multi-period / rolling-horizon models.
+    """
+    nbus = gd.nbus
+    fr, to, gb = gd.line_from, gd.line_to, gd.gen_bus
+    uL, zL, lL, rL = u.line, z.line, l.line, rho.line
+    uG, zG, lG, rG = u.gen, z.gen, l.gen, rho.gen
+    m = gd.line_mask  # zero out padded lines from every bus aggregate
+
+    if Pd is None:
+        Pd = gd.Pd
+    if Qd is None:
+        Qd = gd.Qd
+
+    def seg(vals, ids):
+        return jops.segment_sum(vals, ids, num_segments=nbus)
+
+    # lam + rho*(u + z) for the bus-owned rows (wi, wj, thi, thj)
+    uz = uL + zL
+    acc_w_fr = (lL[:, 4] + rL[:, 4] * uz[:, 4]) * m
+    acc_w_to = (lL[:, 5] + rL[:, 5] * uz[:, 5]) * m
+    acc_t_fr = (lL[:, 6] + rL[:, 6] * uz[:, 6]) * m
+    acc_t_to = (lL[:, 7] + rL[:, 7] * uz[:, 7]) * m
+
+    common_wi = seg(acc_w_fr, fr) + seg(acc_w_to, to)
+    common_ti = seg(acc_t_fr, fr) + seg(acc_t_to, to)
+    rhosum_wi = seg(rL[:, 4] * m, fr) + seg(rL[:, 5] * m, to)
+    rhosum_ti = seg(rL[:, 6] * m, fr) + seg(rL[:, 7] * m, to)
+    inv_rho_p = seg(m / rL[:, 0], fr) + seg(m / rL[:, 2], to)
+    inv_rho_q = seg(m / rL[:, 1], fr) + seg(m / rL[:, 3], to)
+
+    # guard isolated buses (no incident line) against 0/0
+    safe_rhosum_wi = jnp.where(rhosum_wi > 0, rhosum_wi, 1.0)
+    safe_rhosum_ti = jnp.where(rhosum_ti > 0, rhosum_ti, 1.0)
+    common_wi = common_wi / safe_rhosum_wi
+
+    # generator contributions
+    uzG = uG + zG
+    rhs1 = seg((uzG[:, 0] + lG[:, 0] / rG[:, 0]), gb)
+    rhs2 = seg((uzG[:, 1] + lG[:, 1] / rG[:, 1]), gb)
+    inv_rho_pg = seg(1.0 / rG[:, 0], gb)
+    inv_rho_qg = seg(1.0 / rG[:, 1], gb)
+
+    rhs1 = rhs1 - Pd / gd.baseMVA
+    rhs2 = rhs2 - Qd / gd.baseMVA
+
+    # flow contributions (pij/qij at from end, pji/qji at to end)
+    rhs1 = rhs1 - (seg((uz[:, 0] + lL[:, 0] / rL[:, 0]) * m, fr)
+                   + seg((uz[:, 2] + lL[:, 2] / rL[:, 2]) * m, to))
+    rhs2 = rhs2 - (seg((uz[:, 1] + lL[:, 1] / rL[:, 1]) * m, fr)
+                   + seg((uz[:, 3] + lL[:, 3] / rL[:, 3]) * m, to))
+
+    rhs1 = rhs1 - gd.YshR * common_wi
+    rhs2 = rhs2 + gd.YshI * common_wi
+
+    A11 = (inv_rho_pg + inv_rho_p) + (gd.YshR**2 / safe_rhosum_wi)
+    A12 = -gd.YshR * (gd.YshI / safe_rhosum_wi)
+    A22 = (inv_rho_qg + inv_rho_q) + (gd.YshI**2 / safe_rhosum_wi)
+    # same elimination ordering as the reference (:90-92)
+    safe_A11 = jnp.where(A11 != 0, A11, 1.0)
+    mu2 = (rhs2 - (A12 / safe_A11) * rhs1) / (A22 - (A12 / safe_A11) * A12)
+    mu1 = (rhs1 - A12 * mu2) / safe_A11
+
+    wi = common_wi + (gd.YshR * mu1 - gd.YshI * mu2) / safe_rhosum_wi
+    ti = common_ti / safe_rhosum_ti
+
+    # writeback: consensus copies for every attached component
+    v_gen = jnp.stack(
+        [
+            uzG[:, 0] + (lG[:, 0] - mu1[gb]) / rG[:, 0],
+            uzG[:, 1] + (lG[:, 1] - mu2[gb]) / rG[:, 1],
+        ],
+        axis=-1,
+    )
+    v_line = jnp.stack(
+        [
+            uz[:, 0] + (lL[:, 0] + mu1[fr]) / rL[:, 0],
+            uz[:, 1] + (lL[:, 1] + mu2[fr]) / rL[:, 1],
+            uz[:, 2] + (lL[:, 2] + mu1[to]) / rL[:, 2],
+            uz[:, 3] + (lL[:, 3] + mu2[to]) / rL[:, 3],
+            wi[fr],
+            wi[to],
+            ti[fr],
+            ti[to],
+        ],
+        axis=-1,
+    )
+    return Blocks(gen=v_gen, line=v_line)
+
+
+def z_update(u: Blocks, v: Blocks, l: Blocks, rho: Blocks, lz: Blocks, beta) -> Blocks:
+    """z = -(lz + l + rho*(u - v)) / (beta + rho) (acopf_admm_update_z_cpu.jl:10)."""
+    return blocks_map(
+        lambda uu, vv, ll, rr, zz: (-(zz + ll + rr * (uu - vv))) / (beta + rr),
+        u, v, l, rho, lz,
+    )
+
+
+def l_update(z: Blocks, lz: Blocks, beta) -> Blocks:
+    """l = -(lz + beta*z) (acopf_admm_update_l_cpu.jl:10)."""
+    return blocks_map(lambda zz, ll: -(ll + beta * zz), z, lz)
+
+
+def lz_update(z: Blocks, lz: Blocks, beta, max_multiplier) -> Blocks:
+    """lz = clamp(lz + beta*z, +-MAX_MULTIPLIER) (acopf_admm_update_lz_cpu.jl:10)."""
+    return blocks_map(
+        lambda zz, ll: jnp.clip(ll + beta * zz, -max_multiplier, max_multiplier),
+        z, lz,
+    )
+
+
+def compute_objval(u_gen, c2, c1, c0, baseMVA):
+    """sum c2*(B*pg)^2 + c1*(B*pg) + c0 with RAW cost coefficients.
+
+    The reference computes the reported objective from the unscaled
+    coefficients even when obj_scale != 1 (acopf_admm_update_residual_cpu.jl).
+    """
+    pg = baseMVA * u_gen[:, 0]
+    return jnp.sum(c2 * pg**2 + c1 * pg + c0)
+
+
+def residual_update(sol, gd: GridData, beta):
+    """Residual blocks and scalar norms; returns (new rp, rd, scalars dict).
+
+    rp = u - v + z; rd = z - z_prev; mismatch = ||u - v||
+    (acopf_admm_update_residual_cpu.jl). The aug-Lagrangian value here sums
+    over the full vector; the reference CPU code accidentally sums only the
+    first entry (`for i=1:length(mod.nvar)` with nvar::Int — a no-op range of
+    1) — auglag is display-only so we keep the correct formula.
+    """
+    m = gd.line_mask
+    rp = blocks_map(lambda uu, vv, zz: uu - vv + zz, sol.u, sol.v, sol.z)
+    rd = blocks_map(lambda zc, zp: zc - zp, sol.z, sol.z_prev)
+    ax_by = blocks_map(lambda a, b: a - b, rp, sol.z)
+
+    primres = blocks_norm(rp, m)
+    dualres = blocks_norm(rd, m)
+    norm_z = blocks_norm(sol.z, m)
+    mismatch = blocks_norm(ax_by, m)
+
+    objval = compute_objval(sol.u.gen, gd.c2, gd.c1, gd.c0, gd.baseMVA)
+
+    def masked_sum(b: Blocks, fn):
+        return jnp.sum(fn(b.gen)) + jnp.sum(fn(b.line) * m[:, None])
+
+    auglag = (
+        objval
+        + blocks_dot_masked(sol.lz, sol.z, m)
+        + 0.5 * beta * masked_sum(sol.z, lambda x: x * x)
+        + blocks_dot_masked(sol.l, rp, m)
+        + 0.5 * (jnp.sum(sol.rho.gen * rp.gen**2)
+                 + jnp.sum(sol.rho.line * rp.line**2 * m[:, None]))
+    )
+
+    scalars = {
+        "primres": primres,
+        "dualres": dualres,
+        "norm_z_curr": norm_z,
+        "mismatch": mismatch,
+        "objval": objval,
+        "auglag": auglag,
+    }
+    return rp, rd, scalars
+
+
+def blocks_dot_masked(a: Blocks, b: Blocks, line_mask) -> jnp.ndarray:
+    return jnp.sum(a.gen * b.gen) + jnp.sum(a.line * b.line * line_mask[:, None])

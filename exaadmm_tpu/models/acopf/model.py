@@ -1,0 +1,158 @@
+"""ACOPF model: variable layout, initial solution, and the iteration hooks.
+
+Equivalent of reference ``ModelAcopf`` + ``init_solution!``
+(``/root/reference/src/models/acopf/acopf_model.jl``,
+``acopf_init_solution_cpu.jl``) in functional form. The flat interleaved
+nvar-vector becomes the structured :class:`~exaadmm_tpu.utils.environment.
+Blocks` pytree; ``nvar`` (2 ngen + 8 nline, unpadded) is kept for the
+tolerance scalings sqrt(nvar)*eps used by the drivers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ...utils.environment import Blocks, BranchALMState, Parameters, Solution
+from ...utils.grid_data import GridData, build_grid_data
+from ...utils.opfdata import OPFData
+from . import kernels
+from .branch import branch_update
+
+
+@dataclasses.dataclass
+class ModelAcopf:
+    grid: GridData
+    par: Parameters
+    use_linelimit: bool = True
+    # ramp-tightened bounds for rolling horizon (acopf_model.jl:60-63)
+    pgmin_curr: jnp.ndarray | None = None
+    pgmax_curr: jnp.ndarray | None = None
+
+    def __post_init__(self):
+        if self.pgmin_curr is None:
+            self.pgmin_curr = self.grid.pgmin
+        if self.pgmax_curr is None:
+            self.pgmax_curr = self.grid.pgmax
+
+    @property
+    def nvar(self) -> int:
+        return 2 * self.grid.ngen + 8 * self.grid.nline
+
+    # effective (obj_scale-multiplied) cost coefficients used by kernels
+    @property
+    def c2_eff(self):
+        return self.grid.c2 * self.par.obj_scale
+
+    @property
+    def c1_eff(self):
+        return self.grid.c1 * self.par.obj_scale
+
+
+def build_model(
+    data: OPFData,
+    par: Parameters,
+    *,
+    use_linelimit: bool = True,
+    tight_factor: float = 1.0,
+    pad_lines_to: int = 1,
+    dtype=jnp.float64,
+) -> ModelAcopf:
+    gd = build_grid_data(
+        data, tight_factor=tight_factor, pad_lines_to=pad_lines_to, dtype=dtype
+    )
+    return ModelAcopf(grid=gd, par=par, use_linelimit=use_linelimit)
+
+
+def init_solution(model: ModelAcopf, rho_pq: float, rho_va: float) -> Solution:
+    """Flat start (acopf_init_solution_cpu.jl:8-58).
+
+    rho = rho_pq everywhere except the line (wi, wj, thi, thj) rows = rho_va;
+    v gens at bound midpoints; v lines from w0 = (Vmax^2+Vmin^2)/2 pushed
+    through the branch admittances.
+    """
+    gd = model.grid
+    dtype = gd.pgmin.dtype
+    sol = Solution.zeros(gd.ngen, gd.nline_padded, dtype)
+
+    rho_line = jnp.concatenate(
+        [
+            jnp.full((gd.nline_padded, 4), rho_pq, dtype),
+            jnp.full((gd.nline_padded, 4), rho_va, dtype),
+        ],
+        axis=-1,
+    )
+    rho = Blocks(gen=jnp.full((gd.ngen, 2), rho_pq, dtype), line=rho_line)
+
+    v_gen = jnp.stack(
+        [0.5 * (gd.pgmin + gd.pgmax), 0.5 * (gd.qgmin + gd.qgmax)], axis=-1
+    )
+
+    wij0 = 0.5 * (gd.Vmax[gd.line_from] ** 2 + gd.Vmin[gd.line_from] ** 2)
+    wji0 = 0.5 * (gd.Vmax[gd.line_to] ** 2 + gd.Vmin[gd.line_to] ** 2)
+    wR0 = jnp.sqrt(wij0 * wji0)
+    zero = jnp.zeros_like(wij0)
+    v_line = jnp.stack(
+        [
+            gd.YffR * wij0 + gd.YftR * wR0,
+            -gd.YffI * wij0 - gd.YftI * wR0,
+            gd.YttR * wji0 + gd.YtfR * wR0,
+            -gd.YttI * wji0 - gd.YtfI * wR0,
+            wij0,
+            wji0,
+            zero,
+            zero,
+        ],
+        axis=-1,
+    ) * gd.line_mask[:, None]
+
+    return sol.replace(
+        rho=rho,
+        v=Blocks(gen=v_gen, line=v_line),
+        branch_alm=BranchALMState.zeros(gd.nline_padded, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# iteration hooks (the "11-hook protocol" of the reference, docs/src/dev.md),
+# here as pure functions composed by the drivers
+# ---------------------------------------------------------------------------
+
+def update_x(model: ModelAcopf, sol: Solution, inner_iter):
+    """x update: closed-form generators + batched branch TRON/ALM."""
+    gd = model.grid
+    u_gen = kernels.generator_update(
+        sol.u.gen, sol.v.gen, sol.z.gen, sol.l.gen, sol.rho.gen,
+        model.pgmin_curr, model.pgmax_curr, gd.qgmin, gd.qgmax,
+        model.c2_eff, model.c1_eff, gd.baseMVA,
+    )
+    u_line, alm, stats = branch_update(
+        sol, gd, model.par, inner_iter, use_linelimit=model.use_linelimit
+    )
+    return sol.replace(u=Blocks(gen=u_gen, line=u_line), branch_alm=alm), stats
+
+
+def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None):
+    v = kernels.bus_update(sol.u, sol.z, sol.l, sol.rho, model.grid, Pd=Pd, Qd=Qd)
+    return sol.replace(v=v)
+
+
+def update_z(model: ModelAcopf, sol: Solution, beta):
+    z = kernels.z_update(sol.u, sol.v, sol.l, sol.rho, sol.lz, beta)
+    return sol.replace(z=z)
+
+
+def update_l(model: ModelAcopf, sol: Solution, beta):
+    l = kernels.l_update(sol.z, sol.lz, beta)
+    return sol.replace(l=l)
+
+
+def update_lz(model: ModelAcopf, sol: Solution, beta):
+    lz = kernels.lz_update(sol.z, sol.lz, beta, model.par.MAX_MULTIPLIER)
+    return sol.replace(lz=lz)
+
+
+def update_residual(model: ModelAcopf, sol: Solution, beta):
+    rp, rd, scalars = kernels.residual_update(sol, model.grid, beta)
+    return sol.replace(rp=rp, rd=rd), scalars

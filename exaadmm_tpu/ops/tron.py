@@ -1,0 +1,378 @@
+"""Batched trust-region Newton (TRON-style) with an augmented-Lagrangian wrapper.
+
+This is the TPU-native replacement for the reference's device-resident ExaTron
+solver (the external ``ExaTron`` package: ``dtron``/``dcauchy``/``dspcg``/
+``dgpnorm``; call sites at
+``/root/reference/src/models/acopf/acopf_tron_linelimit_kernel.jl:61-144``) and
+for the per-line ALM loop that wraps it
+(``acopf_auglag_linelimit_kernel_cpu.jl:120-156``).
+
+Design: instead of one CUDA block per subproblem running divergent loops, ALL
+subproblems advance in lockstep through a single flat state machine inside one
+``lax.while_loop`` whose body is fully batched: gradient/Hessian by autodiff,
+6x6 factorizations unrolled onto the VPU, bound handling by masking. Each
+lane (subproblem) carries its own phase (TRON minor iteration vs ALM
+multiplier round vs done); the loop runs until every lane finishes. This is
+uniform control flow — exactly what the TPU wants — at the cost of masked
+work for early finishers.
+
+Algorithm per lane (faithful to Lin & More's TRON as used by ExaTron):
+  - Cauchy point along the projected gradient with sufficient decrease
+    (mu0 = 0.01, interpolation x0.1 / extrapolation x10),
+  - Newton step on the free variables via shifted dense Cholesky, clipped to
+    the trust region, then a projected backtracking search,
+  - actual/predicted reduction ratio tests with TRON's radius-update
+    constants (eta0=1e-4, eta1=0.25, eta2=0.75, sigma1=0.25, sigma2=0.5,
+    sigma3=4),
+  - termination on projected-gradient inf-norm <= gtol, relative function
+    reduction <= frtol, or the minor-iteration cap,
+  - ALM round on TRON convergence: lambda += mu*c when ||c||_inf <= eta
+    (Lancelot eta-ladder eta /= mu^0.9), else mu = min(10*mu, mu_max) with
+    eta = mu^-0.1; line finishes when ||c||_inf <= ctol or the round cap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .small_linalg import solve_spd_shifted
+
+# TRON constants (Lin & More)
+_MU0 = 0.01       # sufficient decrease for Cauchy/projected searches
+_INTERPF = 0.1
+_EXTRAPF = 10.0
+_ETA0, _ETA1, _ETA2 = 1e-4, 0.25, 0.75
+_SIGMA1, _SIGMA2, _SIGMA3 = 0.25, 0.5, 4.0
+_CAUCHY_ITERS = 22
+_EXTRAP_ITERS = 10
+_PRSRCH_ITERS = 20
+
+
+class TronALMResult(NamedTuple):
+    x: jnp.ndarray       # (B, n) final iterates
+    lam: jnp.ndarray     # (B, ncon) ALM multipliers
+    mu: jnp.ndarray      # (B,) ALM penalties
+    minor_iters: jnp.ndarray  # (B,) total TR iterations
+    alm_iters: jnp.ndarray    # (B,) ALM rounds taken
+    cviol: jnp.ndarray   # (B,) final constraint inf-norm
+
+
+class _State(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    delta: jnp.ndarray
+    alpha_c: jnp.ndarray
+    tron_it: jnp.ndarray
+    tron_done: jnp.ndarray
+    need_init: jnp.ndarray   # fresh TRON solve: delta <- ||g||
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    eta: jnp.ndarray
+    alm_it: jnp.ndarray
+    active: jnp.ndarray
+    minor_total: jnp.ndarray
+    cviol: jnp.ndarray
+    steps: jnp.ndarray       # scalar global step counter
+
+
+def _gp_norm_inf(x, g, xl, xu):
+    gp = g
+    gp = jnp.where(x <= xl, jnp.minimum(g, 0.0), gp)
+    gp = jnp.where(x >= xu, jnp.maximum(gp, 0.0), gp)
+    return jnp.max(jnp.abs(gp), axis=-1)
+
+
+def _norm2(s):
+    return jnp.sqrt(jnp.sum(s * s, axis=-1))
+
+
+def tron_alm_batched(
+    obj_fn: Callable,    # (x (n,), params_slice, lam (ncon,), mu scalar) -> scalar
+    cons_fn: Callable,   # (x (n,), params_slice) -> (ncon,)
+    x0: jnp.ndarray,     # (B, n)
+    xl: jnp.ndarray,
+    xu: jnp.ndarray,
+    params,              # pytree, leaves with leading dim B
+    lam0: jnp.ndarray,   # (B, ncon)
+    mu0: jnp.ndarray,    # (B,)
+    *,
+    gtol: float = 1e-6,
+    frtol: float = 1e-12,
+    ctol: float = 1e-6,
+    mu_max: float = 1e8,
+    max_minor: int = 200,
+    max_auglag: int = 50,
+    active0: jnp.ndarray | None = None,
+) -> TronALMResult:
+    """Solve B independent bound-constrained ALM problems in lockstep.
+
+    ``obj_fn`` is the FULL augmented objective (base + lam.c + 0.5 mu |c|^2);
+    gradients and Hessians are derived from it by autodiff (forward-over-
+    reverse), replacing the reference's 600-line hand-derived eval kernels
+    (acopf_eval_linelimit_kernel_cpu.jl).
+    """
+    B, n = x0.shape
+    dtype = x0.dtype
+
+    f_batched = jax.vmap(obj_fn, in_axes=(0, 0, 0, 0))
+    grad_batched = jax.vmap(jax.grad(obj_fn), in_axes=(0, 0, 0, 0))
+    hess_batched = jax.vmap(jax.jacfwd(jax.grad(obj_fn)), in_axes=(0, 0, 0, 0))
+    cons_batched = jax.vmap(cons_fn, in_axes=(0, 0))
+
+    def cviol_inf(x):
+        c = cons_batched(x, params)
+        if c.shape[-1] == 0:
+            return jnp.zeros((B,), dtype), c
+        return jnp.max(jnp.abs(c), axis=-1), c
+
+    def tr_step(x, f, g, H, delta, alpha_c, lam, mu):
+        """One TRON iteration for all lanes; returns updated quantities."""
+        Hs = lambda s: jnp.einsum("bij,bj->bi", H, s)  # noqa: E731
+
+        def qval(s):
+            return jnp.sum(g * s, axis=-1) + 0.5 * jnp.sum(s * Hs(s), axis=-1)
+
+        def proj(y):
+            return jnp.clip(y, xl, xu)
+
+        def s_of(a):
+            return proj(x - a[:, None] * g) - x
+
+        def cauchy_ok(a):
+            s = s_of(a)
+            return (_norm2(s) <= delta) & (qval(s) <= _MU0 * jnp.sum(g * s, axis=-1))
+
+        # --- Cauchy point (dcauchy): warm-started alpha ---
+        a0 = jnp.maximum(alpha_c, 1e-30)
+        need_interp = ~cauchy_ok(a0)
+
+        def interp_body(_, carry):
+            a, stop = carry
+            good = cauchy_ok(a)
+            stop2 = stop | good
+            a2 = jnp.where(stop2, a, a * _INTERPF)
+            return a2, stop2
+
+        a_interp, _ = lax.fori_loop(
+            0, _CAUCHY_ITERS, interp_body, (a0, ~need_interp)
+        )
+
+        def extrap_body(_, carry):
+            a_good, stop = carry
+            a_try = a_good * _EXTRAPF
+            good = cauchy_ok(a_try) & (a_try < 1e12)
+            a2 = jnp.where(good & ~stop, a_try, a_good)
+            return a2, stop | ~good
+
+        a_extrap, _ = lax.fori_loop(
+            0, _EXTRAP_ITERS, extrap_body, (a0, need_interp)
+        )
+        alpha = jnp.where(need_interp, a_interp, a_extrap)
+        sc = s_of(alpha)
+        xc = x + sc
+
+        # --- Newton direction on free variables ---
+        free = (xc > xl) & (xc < xu)
+        gc = g + Hs(sc)  # model gradient at the Cauchy point
+        gf = jnp.where(free, gc, 0.0)
+        ff = free[:, :, None] & free[:, None, :]
+        eye = jnp.eye(n, dtype=dtype)
+        Hm = jnp.where(ff, H, 0.0) + jnp.where(
+            free[:, :, None] | free[:, None, :], 0.0, eye
+        )
+        d, solved = solve_spd_shifted(Hm, -gf)
+        d = jnp.where(free & solved[:, None], d, 0.0)
+
+        # clip so the combined step stays inside the trust region (dtrqsol):
+        # largest tau in (0,1] with ||sc + tau*d|| <= delta
+        dd = jnp.sum(d * d, axis=-1)
+        sd = jnp.sum(sc * d, axis=-1)
+        ss = jnp.sum(sc * sc, axis=-1)
+        rad = jnp.maximum(sd * sd + dd * (delta * delta - ss), 0.0)
+        safe_dd = jnp.where(dd > 0, dd, 1.0)
+        tau = jnp.where(
+            dd > 0, jnp.minimum((jnp.sqrt(rad) - sd) / safe_dd, 1.0), 0.0
+        )
+        tau = jnp.maximum(tau, 0.0)
+        d = d * tau[:, None]
+
+        # --- projected backtracking search from xc along d (dprsrch) ---
+        q_c = qval(sc)
+
+        def prs_body(_, carry):
+            aw, best_s, found = carry
+            s_try = proj(xc + aw[:, None] * d) - x
+            decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
+                jnp.sum(gc * (s_try - sc), axis=-1), 0.0
+            )
+            take = decr & ~found
+            best_s = jnp.where(take[:, None], s_try, best_s)
+            return aw * 0.5, best_s, found | decr
+
+        aw0 = jnp.ones((B,), dtype)
+        _, s_best, found = lax.fori_loop(
+            0, _PRSRCH_ITERS, prs_body, (aw0, sc, jnp.zeros((B,), bool))
+        )
+        s = jnp.where(found[:, None], s_best, sc)
+
+        # --- ratio test & radius update (dtron) ---
+        xt = x + s
+        ft = f_batched(xt, params, lam, mu)
+        q_s = qval(s)
+        predred = -q_s
+        actred = f - ft
+        gts = jnp.sum(g * s, axis=-1)
+        snorm = _norm2(s)
+
+        denom = ft - f - gts
+        alpha_q = jnp.where(
+            denom <= 0.0,
+            _SIGMA3,
+            jnp.maximum(_SIGMA1, -0.5 * gts / jnp.where(denom == 0, 1.0, denom)),
+        )
+        safe_pred = jnp.where(predred != 0.0, predred, 1.0)
+        ratio = jnp.where(predred > 0.0, actred / safe_pred, 0.0)
+
+        delta_new = jnp.where(
+            ratio <= _ETA0,
+            jnp.minimum(jnp.maximum(alpha_q, _SIGMA1) * snorm, _SIGMA2 * delta),
+            jnp.where(
+                ratio < _ETA1,
+                jnp.maximum(_SIGMA1 * delta, jnp.minimum(alpha_q * snorm, _SIGMA2 * delta)),
+                jnp.where(
+                    ratio < _ETA2,
+                    jnp.maximum(_SIGMA1 * delta, jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
+                    jnp.maximum(delta, jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
+                ),
+            ),
+        )
+        delta_new = jnp.maximum(delta_new, 1e-30)
+
+        accept = ratio > _ETA0
+        x_new = jnp.where(accept[:, None], xt, x)
+        f_new = jnp.where(accept, ft, f)
+        frtol_conv = (predred <= frtol * jnp.abs(f)) | (
+            accept & (actred <= frtol * jnp.abs(f))
+        )
+        return x_new, f_new, delta_new, alpha, frtol_conv
+
+    def body(st: _State) -> _State:
+        g = grad_batched(st.x, params, st.lam, st.mu)
+        H = hess_batched(st.x, params, st.lam, st.mu)
+
+        gnorm = _norm2(g)
+        delta = jnp.where(st.need_init, jnp.maximum(gnorm, 1e-12), st.delta)
+        alpha_c = jnp.where(st.need_init, jnp.ones_like(st.alpha_c), st.alpha_c)
+
+        gpn = _gp_norm_inf(st.x, g, xl, xu)
+        tron_conv = gpn <= gtol
+        stepping = st.active & ~st.tron_done & ~tron_conv & (st.tron_it < max_minor)
+        newly_done = st.active & ~st.tron_done & (tron_conv | (st.tron_it >= max_minor))
+
+        x2, f2, delta2, ac2, frtol_conv = tr_step(
+            st.x, st.f, g, H, delta, alpha_c, st.lam, st.mu
+        )
+        x = jnp.where(stepping[:, None], x2, st.x)
+        f = jnp.where(stepping, f2, st.f)
+        delta = jnp.where(stepping, delta2, delta)
+        alpha_c = jnp.where(stepping, ac2, alpha_c)
+        tron_it = st.tron_it + stepping.astype(jnp.int32)
+        minor_total = st.minor_total + stepping.astype(jnp.int32)
+        need_init = st.need_init & ~stepping
+
+        tron_done = st.tron_done | newly_done | (stepping & frtol_conv)
+
+        # --- ALM round for lanes whose TRON solve just finished ---
+        do_alm = st.active & tron_done
+        cnorm, c = cviol_inf(x)
+        good = cnorm <= st.eta
+        # reference nests the ctol test under the eta test
+        # (acopf_auglag_linelimit_kernel_cpu.jl:128-137)
+        line_solved = good & (cnorm <= ctol)
+
+        upd_lam = do_alm & good & ~line_solved
+        if c.shape[-1] > 0:
+            lam = jnp.where(upd_lam[:, None], st.lam + st.mu[:, None] * c, st.lam)
+        else:
+            lam = st.lam
+        eta = jnp.where(upd_lam, st.eta / st.mu**0.9, st.eta)
+
+        upd_mu = do_alm & ~good
+        mu = jnp.where(upd_mu, jnp.minimum(mu_max, st.mu * 10.0), st.mu)
+        eta = jnp.where(upd_mu, 1.0 / mu**0.1, eta)
+
+        alm_it = st.alm_it + do_alm.astype(jnp.int32)
+        finished = do_alm & (line_solved | (alm_it >= max_auglag))
+        active = st.active & ~finished
+
+        restart = do_alm & ~finished
+        tron_done = tron_done & ~restart
+        tron_it = jnp.where(restart, 0, tron_it)
+        need_init = need_init | restart
+        # multipliers changed: refresh the objective value at x
+        f_fresh = f_batched(x, params, lam, mu)
+        f = jnp.where(restart, f_fresh, f)
+        cviol = jnp.where(do_alm, cnorm, st.cviol)
+
+        return _State(
+            x=x, f=f, delta=delta, alpha_c=alpha_c,
+            tron_it=tron_it, tron_done=tron_done, need_init=need_init,
+            lam=lam, mu=mu, eta=eta, alm_it=alm_it, active=active,
+            minor_total=minor_total, cviol=cviol, steps=st.steps + 1,
+        )
+
+    def cond(st: _State):
+        return jnp.any(st.active) & (st.steps < max_minor * max_auglag)
+
+    f0 = f_batched(x0, params, lam0, mu0)
+    if active0 is None:
+        active0 = jnp.ones((B,), bool)
+    st0 = _State(
+        x=x0,
+        f=f0,
+        delta=jnp.zeros((B,), dtype),
+        alpha_c=jnp.ones((B,), dtype),
+        tron_it=jnp.zeros((B,), jnp.int32),
+        tron_done=jnp.zeros((B,), bool),
+        need_init=jnp.ones((B,), bool),
+        lam=lam0,
+        mu=mu0,
+        eta=1.0 / mu0**0.1,
+        alm_it=jnp.zeros((B,), jnp.int32),
+        active=active0,
+        minor_total=jnp.zeros((B,), jnp.int32),
+        cviol=jnp.full((B,), jnp.inf, dtype),
+        steps=jnp.zeros((), jnp.int32),
+    )
+    st = lax.while_loop(cond, body, st0)
+    return TronALMResult(
+        x=st.x, lam=st.lam, mu=st.mu,
+        minor_iters=st.minor_total, alm_iters=st.alm_it, cviol=st.cviol,
+    )
+
+
+def tron_batched(
+    obj_fn: Callable,   # (x (n,), params_slice) -> scalar
+    x0, xl, xu, params, **kwargs
+):
+    """Plain bound-constrained batched TRON (no constraints/ALM)."""
+
+    def obj_alm(x, p, lam, mu):
+        del lam, mu
+        return obj_fn(x, p)
+
+    def cons(x, p):
+        del p
+        return jnp.zeros((0,), x.dtype)
+
+    B = x0.shape[0]
+    lam0 = jnp.zeros((B, 0), x0.dtype)
+    mu0 = jnp.full((B,), 10.0, x0.dtype)
+    kwargs.setdefault("max_auglag", 1)
+    res = tron_alm_batched(obj_alm, cons, x0, xl, xu, params, lam0, mu0, **kwargs)
+    return res

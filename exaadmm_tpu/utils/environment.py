@@ -1,0 +1,179 @@
+"""Algorithm parameters, ADMM environment, and solution state pytrees.
+
+TPU-native reworking of the reference ``src/utils/environment.jl``:
+
+- ``Parameters`` mirrors the constants/defaults of environment.jl:6-76,
+- ``Blocks`` replaces the flat interleaved nvar-vector
+  ``[(pg,qg)_g | (pij,qij,pji,qji,wi,wj,thi,thj)_l]`` (acopf layout,
+  docs/src/dev.md) with structured (ngen,2) + (nline,8) arrays — elementwise
+  ADMM updates act identically, while the branch/bus kernels get natural
+  batch axes instead of strided gathers,
+- ``Solution`` mirrors environment.jl:177-226 as an immutable pytree carried
+  through ``lax.while_loop`` (plus the per-line ALM multiplier state that the
+  reference keeps in ``membuf`` rows 25-27,
+  acopf_auglag_linelimit_kernel_cpu.jl:79-147),
+- ``IterationInformation`` mirrors environment.jl:328-405 host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .pytree import pytree_dataclass
+
+# line-block column indices (order matches the reference layout)
+PIJ, QIJ, PJI, QJI, WI, WJ, THI, THJ = range(8)
+
+
+@dataclasses.dataclass
+class Parameters:
+    """Algorithm constants (reference environment.jl:43-75 defaults)."""
+
+    mu_max: float = 1e8          # ALM penalty cap (branch kernel)
+    max_auglag: int = 50         # max ALM rounds per branch solve
+    ABSTOL: float = 1e-6
+    RELTOL: float = 1e-5
+    verbose: int = 1
+
+    # two-level ADMM
+    initial_beta: float = 1e3
+    beta: float = 1e3
+    inc_c: float = 6.0
+    theta: float = 0.8
+    outer_eps: float = 2e-4
+    MAX_MULTIPLIER: float = 1e12
+    DUAL_TOL: float = 1e-8
+
+    outer_iterlim: int = 20
+    inner_iterlim: int = 1000
+    scale: float = 1e-4          # scales the branch objective (TRON evals)
+    obj_scale: float = 1.0       # scales gen cost coefficients in kernels
+
+    # TRON (reference acopf_auglag_linelimit_kernel_cpu.jl:95-116)
+    tron_gtol: float = 1e-6
+    tron_frtol: float = 1e-12
+    tron_max_minor: int = 200
+
+    # branch ALM termination (auglag kernel :128-137)
+    alm_ctol: float = 1e-6
+
+
+@pytree_dataclass
+class Blocks:
+    """One ADMM-space vector, split by component class."""
+
+    gen: jnp.ndarray   # (ngen, 2)  [pg, qg]
+    line: jnp.ndarray  # (nline_padded, 8)  [pij,qij,pji,qji,wi,wj,thi,thj]
+
+    @staticmethod
+    def zeros(ngen: int, nline: int, dtype=jnp.float64) -> "Blocks":
+        return Blocks(
+            gen=jnp.zeros((ngen, 2), dtype=dtype),
+            line=jnp.zeros((nline, 8), dtype=dtype),
+        )
+
+    @staticmethod
+    def full(ngen: int, nline: int, val: float, dtype=jnp.float64) -> "Blocks":
+        return Blocks(
+            gen=jnp.full((ngen, 2), val, dtype=dtype),
+            line=jnp.full((nline, 8), val, dtype=dtype),
+        )
+
+
+def blocks_map(fn, *blocks: Blocks) -> Blocks:
+    """Elementwise op across corresponding gen/line arrays."""
+    return Blocks(
+        gen=fn(*(b.gen for b in blocks)),
+        line=fn(*(b.line for b in blocks)),
+    )
+
+
+def blocks_sumsq(b: Blocks, line_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    lsq = b.line * b.line
+    if line_mask is not None:
+        lsq = lsq * line_mask[:, None]
+    return jnp.sum(b.gen * b.gen) + jnp.sum(lsq)
+
+
+def blocks_norm(b: Blocks, line_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    return jnp.sqrt(blocks_sumsq(b, line_mask))
+
+
+def blocks_dot(a: Blocks, b: Blocks, line_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    lprod = a.line * b.line
+    if line_mask is not None:
+        lprod = lprod * line_mask[:, None]
+    return jnp.sum(a.gen * b.gen) + jnp.sum(lprod)
+
+
+@pytree_dataclass
+class BranchALMState:
+    """Per-line ALM state persisted across inner iterations.
+
+    Reference keeps these in membuf rows 25 (lambda1), 26 (lambda2), 27 (mu)
+    (acopf_auglag_linelimit_kernel_cpu.jl:79-147); mu is reset to 10 at the
+    first inner iteration of each outer loop, the lambdas warm-start forever.
+    """
+
+    lam1: jnp.ndarray  # (nline,)
+    lam2: jnp.ndarray  # (nline,)
+    mu: jnp.ndarray    # (nline,)
+
+    @staticmethod
+    def zeros(nline: int, dtype=jnp.float64) -> "BranchALMState":
+        z = jnp.zeros((nline,), dtype=dtype)
+        return BranchALMState(lam1=z, lam2=z, mu=jnp.full((nline,), 10.0, dtype=dtype))
+
+
+@pytree_dataclass
+class Solution:
+    """ADMM state (reference Solution, environment.jl:177-226) as a pytree."""
+
+    u: Blocks        # x (component variables)
+    v: Blocks        # xbar (bus consensus copy)
+    l: Blocks        # lambda for u - v + z = 0
+    rho: Blocks
+    z: Blocks        # artificial variable (two-level)
+    z_prev: Blocks
+    lz: Blocks       # outer multiplier on z = 0
+    rp: Blocks       # primal residual u - v + z
+    rd: Blocks       # dual residual z - z_prev
+    branch_alm: BranchALMState
+
+    @staticmethod
+    def zeros(ngen: int, nline: int, dtype=jnp.float64) -> "Solution":
+        z = lambda: Blocks.zeros(ngen, nline, dtype)  # noqa: E731
+        return Solution(
+            u=z(), v=z(), l=z(), rho=z(), z=z(), z_prev=z(), lz=z(),
+            rp=z(), rd=z(),
+            branch_alm=BranchALMState.zeros(nline, dtype),
+        )
+
+
+@dataclasses.dataclass
+class IterationInformation:
+    """Host-side iteration counters and scalars (environment.jl:328-405)."""
+
+    outer: int = 0
+    inner: int = 0
+    cumul: int = 0
+    status: str = "NotSpecified"
+    objval: float = 0.0
+    auglag: float = 0.0
+    primres: float = float("inf")
+    dualres: float = float("inf")
+    mismatch: float = float("inf")
+    eps_pri: float = 0.0
+    norm_z_curr: float = float("inf")
+    norm_z_prev: float = float("inf")
+    # wall-clock accounting
+    time_overall: float = 0.0
+    time_x_update: float = 0.0
+    time_xbar_update: float = 0.0
+    time_z_update: float = 0.0
+    time_l_update: float = 0.0
+    time_lz_update: float = 0.0
+    time_projection: float = 0.0
