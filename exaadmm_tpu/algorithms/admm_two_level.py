@@ -41,17 +41,17 @@ class InnerCarry:
     avg_minor_it: jnp.ndarray
 
 
-def _one_inner_iteration(model, carry: InnerCarry, beta) -> InnerCarry:
+def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None) -> InnerCarry:
     from ..models.acopf import model as M  # hooks (works for any model exposing them)
 
     sol = carry.sol
     sol = sol.replace(z_prev=sol.z)                     # inner prestep
     inner = carry.inner + 1
-    sol, stats = M.update_x(model, sol, inner)
-    sol = M.update_xbar(model, sol)
+    sol, stats = M.update_x(model, sol, inner, axis_name=axis_name)
+    sol = M.update_xbar(model, sol, axis_name=axis_name)
     sol = M.update_z(model, sol, beta)
     sol = M.update_l(model, sol, beta)
-    sol, scalars = M.update_residual(model, sol, beta)
+    sol, scalars = M.update_residual(model, sol, beta, axis_name=axis_name)
     return InnerCarry(
         sol=sol,
         inner=inner,
@@ -98,8 +98,14 @@ def make_inner_loop(model, inner_iterlim: int):
     return run_inner
 
 
-def admm_two_level(model, sol: Solution, info: IterationInformation | None = None):
-    """Run the two-level ADMM; returns (sol, info)."""
+def admm_two_level(model, sol: Solution, info: IterationInformation | None = None,
+                   run_inner=None):
+    """Run the two-level ADMM; returns (sol, info).
+
+    ``run_inner`` may be a pre-built (possibly sharded) inner-loop callable
+    (see parallel.sharding.make_sharded_inner_loop); defaults to the
+    single-device jitted loop.
+    """
     from ..models.acopf import model as M
 
     par = model.par
@@ -107,7 +113,8 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
     sqrt_d = float(model.nvar) ** 0.5
     outer_tol = sqrt_d * par.outer_eps
 
-    run_inner = make_inner_loop(model, par.inner_iterlim)
+    if run_inner is None:
+        run_inner = make_inner_loop(model, par.inner_iterlim)
     lz_step = jax.jit(lambda s, b: M.update_lz(model, s, b))
 
     beta = par.initial_beta

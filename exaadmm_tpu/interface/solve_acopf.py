@@ -48,9 +48,17 @@ def solve_acopf(
     dtype=None,
     pad_lines_to: int = 1,
     backend: str | None = None,
+    mesh=None,
 ) -> SolveResult:
+    """Solve a single-period ACOPF with two-level ADMM.
+
+    Pass ``mesh`` (a 1-D jax.sharding.Mesh) to shard lines across devices;
+    ``pad_lines_to`` then defaults to the mesh size.
+    """
     dtype = dtype or _default_dtype()
     data = opf_loaddata(case, case_format=case_format, verbose=verbose)
+    if mesh is not None and pad_lines_to == 1:
+        pad_lines_to = int(mesh.devices.size)
 
     par = Parameters(
         outer_iterlim=outer_iterlim,
@@ -73,7 +81,11 @@ def solve_acopf(
             dtype=dtype,
         )
         sol = init_sol = M.init_solution(model, rho_pq, rho_va)
-        sol, info = admm_two_level(model, sol)
+        run_inner = None
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_inner_loop
+            run_inner = make_sharded_inner_loop(model, mesh, par.inner_iterlim)
+        sol, info = admm_two_level(model, sol, run_inner=run_inner)
 
         if use_projection:
             from ..models.pf.projection import pf_projection

@@ -84,7 +84,9 @@ def _branch_params(sol: Solution, gd: GridData, par: Parameters):
         "YttR": gd.YttR, "YttI": gd.YttI,
         "YtfR": gd.YtfR, "YtfI": gd.YtfI,
         "l": sol.l.line, "rho": sol.rho.line, "t": t,
-        "scale": jnp.full((gd.nline_padded,), par.scale, t.dtype),
+        # shaped off a line array so it stays correct under shard_map,
+        # where the local line count is nline_padded / n_devices
+        "scale": jnp.full_like(t[:, 0], par.scale),
     }
 
 
@@ -115,7 +117,7 @@ def _warm_start_x0(u_line, gd: GridData, use_linelimit: bool):
 
 def branch_update(
     sol: Solution, gd: GridData, par: Parameters, inner_iter,
-    use_linelimit: bool = True,
+    use_linelimit: bool = True, axis_name: str | None = None,
 ):
     """Solve all line subproblems; returns (new u line block, new ALM state, stats).
 
@@ -170,9 +172,18 @@ def branch_update(
     # padded lanes keep their previous (zero) state
     u_new = jnp.where(active0[:, None], u_new, u_line)
 
+    sums = jnp.stack([
+        jnp.sum(res.alm_iters * gd.line_mask),
+        jnp.sum(res.minor_iters * gd.line_mask),
+    ])
+    max_cv = jnp.max(jnp.where(active0, res.cviol, 0.0))
+    if axis_name is not None:
+        import jax
+        sums = jax.lax.psum(sums, axis_name)
+        max_cv = jax.lax.pmax(max_cv, axis_name)
     stats = {
-        "avg_auglag_it": jnp.sum(res.alm_iters * gd.line_mask) / gd.nline,
-        "avg_minor_it": jnp.sum(res.minor_iters * gd.line_mask) / gd.nline,
-        "max_cviol": jnp.max(jnp.where(active0, res.cviol, 0.0)),
+        "avg_auglag_it": sums[0] / gd.nline,
+        "avg_minor_it": sums[1] / gd.nline,
+        "max_cviol": max_cv,
     }
     return u_new, new_alm, stats

@@ -16,6 +16,7 @@ Batched jnp re-designs of the reference per-component CUDA kernels:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import ops as jops
 
@@ -45,7 +46,7 @@ def generator_update(
 
 
 def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
-               Pd=None, Qd=None) -> Blocks:
+               Pd=None, Qd=None, axis_name: str | None = None) -> Blocks:
     """Bus consensus (xbar) update; returns the new v Blocks.
 
     Vectorised form of acopf_bus_kernel_cpu.jl:12-116. Per bus the optimality
@@ -55,6 +56,11 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
 
     Pd/Qd default to the static grid loads; pass per-period columns for
     multi-period / rolling-horizon models.
+
+    Under ``shard_map`` with lines sharded on ``axis_name`` (gens/buses
+    replicated), the per-shard line->bus segment sums are combined with a
+    single ``psum`` — the TPU-native replacement for the reference's MPI line
+    partition that never shipped its collectives (SURVEY §2.7.3).
     """
     nbus = gd.nbus
     fr, to, gb = gd.line_from, gd.line_to, gd.gen_bus
@@ -77,19 +83,44 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     acc_t_fr = (lL[:, 6] + rL[:, 6] * uz[:, 6]) * m
     acc_t_to = (lL[:, 7] + rL[:, 7] * uz[:, 7]) * m
 
-    common_wi = seg(acc_w_fr, fr) + seg(acc_w_to, to)
-    common_ti = seg(acc_t_fr, fr) + seg(acc_t_to, to)
-    rhosum_wi = seg(rL[:, 4] * m, fr) + seg(rL[:, 5] * m, to)
-    rhosum_ti = seg(rL[:, 6] * m, fr) + seg(rL[:, 7] * m, to)
-    inv_rho_p = seg(m / rL[:, 0], fr) + seg(m / rL[:, 2], to)
-    inv_rho_q = seg(m / rL[:, 1], fr) + seg(m / rL[:, 3], to)
+    # all line->bus aggregates in one stacked segment-sum (one psum under
+    # shard_map instead of ten)
+    line_contrib = jnp.stack(
+        [
+            acc_w_fr, acc_t_fr, rL[:, 4] * m, rL[:, 6] * m,
+            m / rL[:, 0], m / rL[:, 1],
+            (uz[:, 0] + lL[:, 0] / rL[:, 0]) * m,
+            (uz[:, 1] + lL[:, 1] / rL[:, 1]) * m,
+        ],
+        axis=-1,
+    )
+    line_contrib_to = jnp.stack(
+        [
+            acc_w_to, acc_t_to, rL[:, 5] * m, rL[:, 7] * m,
+            m / rL[:, 2], m / rL[:, 3],
+            (uz[:, 2] + lL[:, 2] / rL[:, 2]) * m,
+            (uz[:, 3] + lL[:, 3] / rL[:, 3]) * m,
+        ],
+        axis=-1,
+    )
+    agg = seg(line_contrib, fr) + seg(line_contrib_to, to)
+    if axis_name is not None:
+        agg = jax.lax.psum(agg, axis_name)
+    common_wi = agg[:, 0]
+    common_ti = agg[:, 1]
+    rhosum_wi = agg[:, 2]
+    rhosum_ti = agg[:, 3]
+    inv_rho_p = agg[:, 4]
+    inv_rho_q = agg[:, 5]
+    flow_rhs1 = agg[:, 6]
+    flow_rhs2 = agg[:, 7]
 
     # guard isolated buses (no incident line) against 0/0
     safe_rhosum_wi = jnp.where(rhosum_wi > 0, rhosum_wi, 1.0)
     safe_rhosum_ti = jnp.where(rhosum_ti > 0, rhosum_ti, 1.0)
     common_wi = common_wi / safe_rhosum_wi
 
-    # generator contributions
+    # generator contributions (gen block replicated across shards: no psum)
     uzG = uG + zG
     rhs1 = seg((uzG[:, 0] + lG[:, 0] / rG[:, 0]), gb)
     rhs2 = seg((uzG[:, 1] + lG[:, 1] / rG[:, 1]), gb)
@@ -99,11 +130,8 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     rhs1 = rhs1 - Pd / gd.baseMVA
     rhs2 = rhs2 - Qd / gd.baseMVA
 
-    # flow contributions (pij/qij at from end, pji/qji at to end)
-    rhs1 = rhs1 - (seg((uz[:, 0] + lL[:, 0] / rL[:, 0]) * m, fr)
-                   + seg((uz[:, 2] + lL[:, 2] / rL[:, 2]) * m, to))
-    rhs2 = rhs2 - (seg((uz[:, 1] + lL[:, 1] / rL[:, 1]) * m, fr)
-                   + seg((uz[:, 3] + lL[:, 3] / rL[:, 3]) * m, to))
+    rhs1 = rhs1 - flow_rhs1
+    rhs2 = rhs2 - flow_rhs2
 
     rhs1 = rhs1 - gd.YshR * common_wi
     rhs2 = rhs2 + gd.YshI * common_wi
@@ -174,7 +202,7 @@ def compute_objval(u_gen, c2, c1, c0, baseMVA):
     return jnp.sum(c2 * pg**2 + c1 * pg + c0)
 
 
-def residual_update(sol, gd: GridData, beta):
+def residual_update(sol, gd: GridData, beta, axis_name: str | None = None):
     """Residual blocks and scalar norms; returns (new rp, rd, scalars dict).
 
     rp = u - v + z; rd = z - z_prev; mismatch = ||u - v||
@@ -182,29 +210,46 @@ def residual_update(sol, gd: GridData, beta):
     over the full vector; the reference CPU code accidentally sums only the
     first entry (`for i=1:length(mod.nvar)` with nvar::Int — a no-op range of
     1) — auglag is display-only so we keep the correct formula.
+
+    With lines sharded on ``axis_name``, per-shard line partial sums are
+    combined with one stacked psum; gen-block terms are replicated.
     """
     m = gd.line_mask
     rp = blocks_map(lambda uu, vv, zz: uu - vv + zz, sol.u, sol.v, sol.z)
     rd = blocks_map(lambda zc, zp: zc - zp, sol.z, sol.z_prev)
     ax_by = blocks_map(lambda a, b: a - b, rp, sol.z)
 
-    primres = blocks_norm(rp, m)
-    dualres = blocks_norm(rd, m)
-    norm_z = blocks_norm(sol.z, m)
-    mismatch = blocks_norm(ax_by, m)
+    def line_sq(x):
+        return jnp.sum(x * x * m[:, None])
+
+    def line_dot(a, b):
+        return jnp.sum(a * b * m[:, None])
+
+    line_parts = jnp.stack([
+        line_sq(rp.line),
+        line_sq(rd.line),
+        line_sq(sol.z.line),
+        line_sq(ax_by.line),
+        line_dot(sol.lz.line, sol.z.line),
+        line_dot(sol.l.line, rp.line),
+        line_dot(sol.rho.line, rp.line * rp.line),
+    ])
+    if axis_name is not None:
+        line_parts = jax.lax.psum(line_parts, axis_name)
+
+    primres = jnp.sqrt(jnp.sum(rp.gen**2) + line_parts[0])
+    dualres = jnp.sqrt(jnp.sum(rd.gen**2) + line_parts[1])
+    norm_z = jnp.sqrt(jnp.sum(sol.z.gen**2) + line_parts[2])
+    mismatch = jnp.sqrt(jnp.sum(ax_by.gen**2) + line_parts[3])
 
     objval = compute_objval(sol.u.gen, gd.c2, gd.c1, gd.c0, gd.baseMVA)
 
-    def masked_sum(b: Blocks, fn):
-        return jnp.sum(fn(b.gen)) + jnp.sum(fn(b.line) * m[:, None])
-
     auglag = (
         objval
-        + blocks_dot_masked(sol.lz, sol.z, m)
-        + 0.5 * beta * masked_sum(sol.z, lambda x: x * x)
-        + blocks_dot_masked(sol.l, rp, m)
-        + 0.5 * (jnp.sum(sol.rho.gen * rp.gen**2)
-                 + jnp.sum(sol.rho.line * rp.line**2 * m[:, None]))
+        + (jnp.sum(sol.lz.gen * sol.z.gen) + line_parts[4])
+        + 0.5 * beta * (jnp.sum(sol.z.gen**2) + line_parts[2])
+        + (jnp.sum(sol.l.gen * rp.gen) + line_parts[5])
+        + 0.5 * (jnp.sum(sol.rho.gen * rp.gen**2) + line_parts[6])
     )
 
     scalars = {
@@ -216,7 +261,3 @@ def residual_update(sol, gd: GridData, beta):
         "auglag": auglag,
     }
     return rp, rd, scalars
-
-
-def blocks_dot_masked(a: Blocks, b: Blocks, line_mask) -> jnp.ndarray:
-    return jnp.sum(a.gen * b.gen) + jnp.sum(a.line * b.line * line_mask[:, None])

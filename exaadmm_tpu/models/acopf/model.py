@@ -119,7 +119,7 @@ def init_solution(model: ModelAcopf, rho_pq: float, rho_va: float) -> Solution:
 # here as pure functions composed by the drivers
 # ---------------------------------------------------------------------------
 
-def update_x(model: ModelAcopf, sol: Solution, inner_iter):
+def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None):
     """x update: closed-form generators + batched branch TRON/ALM."""
     gd = model.grid
     u_gen = kernels.generator_update(
@@ -128,13 +128,15 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter):
         model.c2_eff, model.c1_eff, gd.baseMVA,
     )
     u_line, alm, stats = branch_update(
-        sol, gd, model.par, inner_iter, use_linelimit=model.use_linelimit
+        sol, gd, model.par, inner_iter, use_linelimit=model.use_linelimit,
+        axis_name=axis_name,
     )
     return sol.replace(u=Blocks(gen=u_gen, line=u_line), branch_alm=alm), stats
 
 
-def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None):
-    v = kernels.bus_update(sol.u, sol.z, sol.l, sol.rho, model.grid, Pd=Pd, Qd=Qd)
+def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=None):
+    v = kernels.bus_update(sol.u, sol.z, sol.l, sol.rho, model.grid,
+                           Pd=Pd, Qd=Qd, axis_name=axis_name)
     return sol.replace(v=v)
 
 
@@ -153,6 +155,7 @@ def update_lz(model: ModelAcopf, sol: Solution, beta):
     return sol.replace(lz=lz)
 
 
-def update_residual(model: ModelAcopf, sol: Solution, beta):
-    rp, rd, scalars = kernels.residual_update(sol, model.grid, beta)
+def update_residual(model: ModelAcopf, sol: Solution, beta, axis_name=None):
+    rp, rd, scalars = kernels.residual_update(sol, model.grid, beta,
+                                              axis_name=axis_name)
     return sol.replace(rp=rp, rd=rd), scalars

@@ -1,0 +1,135 @@
+"""Multi-chip sharding: lines partitioned over a device mesh.
+
+TPU-native completion of the reference's MPI scaffolding (nline padded to a
+rank multiple + ``shift_lines`` windows but NO collectives anywhere —
+SURVEY.md §2.7.3; acopf_model.jl:50-53, environment.jl:22-23):
+
+- lines are sharded on one mesh axis (contiguous chunks, padded by
+  ``build_grid_data(pad_lines_to=n_devices)``),
+- generators and buses are replicated (they are ~10x smaller than the line
+  block and their updates are cheap),
+- the branch TRON/ALM solver runs with zero communication — and since
+  ``shard_map`` gives each device its own ``while_loop`` trip count, a device
+  whose lines converge early stops early (unlike the global lockstep of the
+  single-chip path),
+- the bus consensus update needs one stacked (nbus, 8) ``psum``; the residual
+  norms one (7,) ``psum``; branch stats one (2,) ``psum`` per inner iteration;
+  everything rides ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.environment import Blocks, BranchALMState, Solution
+from ..utils.grid_data import GridData
+
+AXIS = "lines"
+
+_LINE_FIELDS = {
+    "YffR", "YffI", "YttR", "YttI", "YftR", "YftI", "YtfR", "YtfI",
+    "rate_a", "line_from", "line_to",
+    "fr_vm_bound", "to_vm_bound", "fr_va_bound", "to_va_bound", "line_mask",
+}
+
+
+def make_mesh(n_devices: int | None = None, devices=None, axis: str = AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devices), (axis,))
+
+
+def grid_specs(gd: GridData, axis: str = AXIS) -> GridData:
+    """A GridData-shaped PartitionSpec tree: line arrays sharded, rest replicated."""
+    reps = {}
+    for f in dataclasses.fields(GridData):
+        if f.metadata.get("static", False):
+            continue
+        reps[f.name] = P(axis) if f.name in _LINE_FIELDS else P()
+    return dataclasses.replace(gd, **reps)
+
+
+def blocks_specs(axis: str = AXIS) -> Blocks:
+    return Blocks(gen=P(), line=P(axis))
+
+
+def solution_specs(axis: str = AXIS) -> Solution:
+    b = blocks_specs(axis)
+    return Solution(
+        u=b, v=b, l=b, rho=b, z=b, z_prev=b, lz=b, rp=b, rd=b,
+        branch_alm=BranchALMState(lam1=P(axis), lam2=P(axis), mu=P(axis)),
+    )
+
+
+def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = AXIS):
+    """Sharded counterpart of admm_two_level.make_inner_loop.
+
+    Returns run_inner(sol, beta, outer) with the full inner ADMM loop inside
+    one jitted shard_map: per-device branch solves, psum-coupled bus/residual
+    updates, identical loop-break decisions on every device (the break scalar
+    is a psum result).
+    """
+    from ..algorithms.admm_two_level import InnerCarry, _one_inner_iteration
+
+    sqrt_d = float(model.nvar) ** 0.5
+    gd = model.grid
+    assert gd.nline_padded % mesh.devices.size == 0, (
+        f"nline_padded={gd.nline_padded} not divisible by mesh size "
+        f"{mesh.devices.size}; build the model with pad_lines_to=n_devices"
+    )
+
+    sol_sp = solution_specs(axis)
+    carry_sp = InnerCarry(
+        sol=sol_sp, inner=P(), primres=P(), dualres=P(), norm_z=P(),
+        mismatch=P(), objval=P(), auglag=P(),
+        avg_auglag_it=P(), avg_minor_it=P(),
+    )
+
+    def inner(gd_local, pgmin_curr, pgmax_curr, sol, beta, outer):
+        model_local = dataclasses.replace(
+            model, grid=gd_local, pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr
+        )
+        eps_pri = sqrt_d / (2500.0 * outer)
+
+        def cond(c):
+            return (c.inner < inner_iterlim) & (c.primres > eps_pri)
+
+        def body(c):
+            return _one_inner_iteration(model_local, c, beta, axis_name=axis)
+
+        dt = sol.u.gen.dtype
+        c0 = InnerCarry(
+            sol=sol,
+            inner=jnp.zeros((), jnp.int32),
+            primres=jnp.asarray(jnp.inf, dt),
+            dualres=jnp.asarray(jnp.inf, dt),
+            norm_z=jnp.asarray(jnp.inf, dt),
+            mismatch=jnp.asarray(jnp.inf, dt),
+            objval=jnp.asarray(0.0, dt),
+            auglag=jnp.asarray(0.0, dt),
+            avg_auglag_it=jnp.asarray(0.0, dt),
+            avg_minor_it=jnp.asarray(0.0, dt),
+        )
+        return lax.while_loop(cond, body, c0)
+
+    sharded = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(grid_specs(gd, axis), P(), P(), sol_sp, P(), P()),
+        out_specs=carry_sp,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run_inner(sol, beta, outer):
+        return sharded(gd, model.pgmin_curr, model.pgmax_curr, sol, beta, outer)
+
+    return run_inner
