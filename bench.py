@@ -46,9 +46,11 @@ def main():
 
     run_inner = make_inner_loop(model, INNER_ITERS)
     beta = jnp.asarray(1e3, dtype)
+    gd = model.grid
+    args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
 
     # warm-up: compiles and runs outer=1 (mu reset path) + steady state
-    carry = run_inner(sol, beta, jnp.asarray(1.0, dtype))
+    carry = run_inner(sol, beta, jnp.asarray(1.0, dtype), *args)
     jax.block_until_ready(carry)
     sol = carry.sol
 
@@ -56,7 +58,7 @@ def main():
     total_iters = 0
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        carry = run_inner(sol, beta, jnp.asarray(2.0 + rep, dtype))
+        carry = run_inner(sol, beta, jnp.asarray(2.0 + rep, dtype), *args)
         jax.block_until_ready(carry)
         dt_s = time.perf_counter() - t0
         iters = int(carry.inner)

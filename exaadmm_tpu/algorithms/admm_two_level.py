@@ -41,17 +41,19 @@ class InnerCarry:
     avg_minor_it: jnp.ndarray
 
 
-def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None) -> InnerCarry:
-    from ..models.acopf import model as M  # hooks (works for any model exposing them)
-
+def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
+                         Pd=None, Qd=None, pg_bounds=None) -> InnerCarry:
+    # models implement the hook protocol (the TPU analogue of the reference's
+    # 11-hook multiple-dispatch protocol, docs/src/dev.md)
     sol = carry.sol
-    sol = sol.replace(z_prev=sol.z)                     # inner prestep
+    sol = model.inner_prestep(sol)                      # z_prev <- z
     inner = carry.inner + 1
-    sol, stats = M.update_x(model, sol, inner, axis_name=axis_name)
-    sol = M.update_xbar(model, sol, axis_name=axis_name)
-    sol = M.update_z(model, sol, beta)
-    sol = M.update_l(model, sol, beta)
-    sol, scalars = M.update_residual(model, sol, beta, axis_name=axis_name)
+    sol, stats = model.update_x(sol, inner, axis_name=axis_name,
+                                pg_bounds=pg_bounds)
+    sol = model.update_xbar(sol, Pd=Pd, Qd=Qd, axis_name=axis_name)
+    sol = model.update_z(sol, beta)
+    sol = model.update_l(sol, beta)
+    sol, scalars = model.update_residual(sol, beta, axis_name=axis_name)
     return InnerCarry(
         sol=sol,
         inner=inner,
@@ -71,14 +73,15 @@ def make_inner_loop(model, inner_iterlim: int):
     sqrt_d = float(model.nvar) ** 0.5
 
     @jax.jit
-    def run_inner(sol: Solution, beta, outer):
+    def run_inner(sol: Solution, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
         eps_pri = sqrt_d / (2500.0 * outer)
 
         def cond(c: InnerCarry):
             return (c.inner < inner_iterlim) & (c.primres > eps_pri)
 
         def body(c: InnerCarry):
-            return _one_inner_iteration(model, c, beta)
+            return _one_inner_iteration(model, c, beta, Pd=Pd, Qd=Qd,
+                                        pg_bounds=(pgmin_curr, pgmax_curr))
 
         dt = sol.u.gen.dtype
         c0 = InnerCarry(
@@ -99,15 +102,17 @@ def make_inner_loop(model, inner_iterlim: int):
 
 
 def admm_two_level(model, sol: Solution, info: IterationInformation | None = None,
-                   run_inner=None):
+                   run_inner=None, Pd=None, Qd=None,
+                   pgmin_curr=None, pgmax_curr=None):
     """Run the two-level ADMM; returns (sol, info).
 
     ``run_inner`` may be a pre-built (possibly sharded) inner-loop callable
     (see parallel.sharding.make_sharded_inner_loop); defaults to the
-    single-device jitted loop.
+    single-device jitted loop. Pd/Qd and the (possibly ramp-tightened) pg
+    bounds are runtime arguments so rolling-horizon re-solves reuse one
+    compiled loop (reference re-solves mutate grid_data in place,
+    acopf_admm_rolling_cpu.jl:33-47).
     """
-    from ..models.acopf import model as M
-
     par = model.par
     info = info or IterationInformation()
     sqrt_d = float(model.nvar) ** 0.5
@@ -115,7 +120,15 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
 
     if run_inner is None:
         run_inner = make_inner_loop(model, par.inner_iterlim)
-    lz_step = jax.jit(lambda s, b: M.update_lz(model, s, b))
+    if Pd is None:
+        Pd = model.default_Pd()
+    if Qd is None:
+        Qd = model.default_Qd()
+    if pgmin_curr is None:
+        pgmin_curr = model.pgmin_curr
+    if pgmax_curr is None:
+        pgmax_curr = model.pgmax_curr
+    lz_step = jax.jit(lambda s, b: model.update_lz(s, b))
 
     beta = par.initial_beta
     info.status = "IterationLimit"
@@ -132,7 +145,8 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
         info.norm_z_prev = info.norm_z_curr  # outer prestep: save ||z||
 
         carry = run_inner(sol, jnp.asarray(beta, sol.u.gen.dtype),
-                          jnp.asarray(float(info.outer), sol.u.gen.dtype))
+                          jnp.asarray(float(info.outer), sol.u.gen.dtype),
+                          Pd, Qd, pgmin_curr, pgmax_curr)
         sol = carry.sol
         info.inner = int(carry.inner)
         info.cumul += info.inner

@@ -131,6 +131,16 @@ def branch_update(
     alm = sol.branch_alm
     active0 = gd.line_mask > 0.5
 
+    # dtype-aware tolerances: the reference's fp64 targets (gtol 1e-6 on the
+    # scaled objective, |c| <= 1e-6 with c = p^2+q^2+s ~ O(10..100)) sit below
+    # fp32 rounding noise; chasing them makes every lane spin to the ALM/minor
+    # caps (observed 100x lockstep waste). Floor them at a multiple of the
+    # dtype epsilon; fp64 values are unchanged.
+    eps = float(jnp.finfo(u_line.dtype).eps)
+    gtol = max(par.tron_gtol, 40.0 * eps)
+    frtol = max(par.tron_frtol, 10.0 * eps)
+    ctol = max(par.alm_ctol, 300.0 * eps)
+
     if use_linelimit:
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
         mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
@@ -138,7 +148,7 @@ def branch_update(
         res = tron_alm_batched(
             branch_obj_linelimit, branch_cons_linelimit,
             x0, xl, xu, params, lam0, mu0,
-            gtol=par.tron_gtol, frtol=par.tron_frtol, ctol=par.alm_ctol,
+            gtol=gtol, frtol=frtol, ctol=ctol,
             mu_max=par.mu_max, max_minor=par.tron_max_minor,
             max_auglag=par.max_auglag, active0=active0,
         )
@@ -148,7 +158,7 @@ def branch_update(
         x0, xl, xu = _warm_start_x0(u_line, gd, False)
         res = tron_batched(
             branch_obj_polar, x0, xl, xu, params,
-            gtol=par.tron_gtol, frtol=par.tron_frtol,
+            gtol=gtol, frtol=frtol,
             max_minor=par.tron_max_minor, active0=active0,
         )
         new_alm = alm

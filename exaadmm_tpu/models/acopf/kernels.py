@@ -46,7 +46,8 @@ def generator_update(
 
 
 def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
-               Pd=None, Qd=None, axis_name: str | None = None) -> Blocks:
+               Pd=None, Qd=None, axis_name: str | None = None,
+               ramp=None) -> Blocks:
     """Bus consensus (xbar) update; returns the new v Blocks.
 
     Vectorised form of acopf_bus_kernel_cpu.jl:12-116. Per bus the optimality
@@ -61,6 +62,13 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     replicated), the per-shard line->bus segment sums are combined with a
     single ``psum`` — the TPU-native replacement for the reference's MPI line
     partition that never shipped its collectives (SURVEY §2.7.3).
+
+    ``ramp`` (optional): dict with per-generator arrays ``u/z/l/rho`` of the
+    NEXT period's ramp-coupling solution; when given, the pg rows blend the
+    current-period and ramp terms exactly as the reference ``bus_kernel_ramp``
+    (mpacopf_bus_kernel_cpu.jl:56-64, 104-110). ``ramp=None`` (or all-zero
+    rho/l/u/z) reduces to the plain bus kernel — the two reference kernels are
+    one formula with r_rho = 0.
     """
     nbus = gd.nbus
     fr, to, gb = gd.line_from, gd.line_to, gd.gen_bus
@@ -120,11 +128,18 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     safe_rhosum_ti = jnp.where(rhosum_ti > 0, rhosum_ti, 1.0)
     common_wi = common_wi / safe_rhosum_wi
 
-    # generator contributions (gen block replicated across shards: no psum)
+    # generator contributions (gen block replicated across shards: no psum).
+    # pg rows blend the next period's ramp consensus terms when present:
+    #   (l + rho*(u+z) + r_l + r_rho*(r_u+r_z)) / (rho + r_rho)
     uzG = uG + zG
-    rhs1 = seg((uzG[:, 0] + lG[:, 0] / rG[:, 0]), gb)
+    gen_p_num = lG[:, 0] + rG[:, 0] * uzG[:, 0]
+    gen_p_den = rG[:, 0]
+    if ramp is not None:
+        gen_p_num = gen_p_num + ramp["l"] + ramp["rho"] * (ramp["u"] + ramp["z"])
+        gen_p_den = gen_p_den + ramp["rho"]
+    rhs1 = seg(gen_p_num / gen_p_den, gb)
     rhs2 = seg((uzG[:, 1] + lG[:, 1] / rG[:, 1]), gb)
-    inv_rho_pg = seg(1.0 / rG[:, 0], gb)
+    inv_rho_pg = seg(1.0 / gen_p_den, gb)
     inv_rho_qg = seg(1.0 / rG[:, 1], gb)
 
     rhs1 = rhs1 - Pd / gd.baseMVA
@@ -150,7 +165,7 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     # writeback: consensus copies for every attached component
     v_gen = jnp.stack(
         [
-            uzG[:, 0] + (lG[:, 0] - mu1[gb]) / rG[:, 0],
+            (gen_p_num - mu1[gb]) / gen_p_den,
             uzG[:, 1] + (lG[:, 1] - mu2[gb]) / rG[:, 1],
         ],
         axis=-1,

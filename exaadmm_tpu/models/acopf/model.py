@@ -49,6 +49,35 @@ class ModelAcopf:
     def c1_eff(self):
         return self.grid.c1 * self.par.obj_scale
 
+    # ---- hook protocol used by the ADMM drivers ----
+    def default_Pd(self):
+        return self.grid.Pd
+
+    def default_Qd(self):
+        return self.grid.Qd
+
+    def inner_prestep(self, sol):
+        return sol.replace(z_prev=sol.z)
+
+    def update_x(self, sol, inner_iter, axis_name=None, pg_bounds=None):
+        return update_x(self, sol, inner_iter, axis_name=axis_name,
+                        pg_bounds=pg_bounds)
+
+    def update_xbar(self, sol, Pd=None, Qd=None, axis_name=None):
+        return update_xbar(self, sol, Pd=Pd, Qd=Qd, axis_name=axis_name)
+
+    def update_z(self, sol, beta):
+        return update_z(self, sol, beta)
+
+    def update_l(self, sol, beta):
+        return update_l(self, sol, beta)
+
+    def update_lz(self, sol, beta):
+        return update_lz(self, sol, beta)
+
+    def update_residual(self, sol, beta, axis_name=None):
+        return update_residual(self, sol, beta, axis_name=axis_name)
+
 
 def build_model(
     data: OPFData,
@@ -119,12 +148,15 @@ def init_solution(model: ModelAcopf, rho_pq: float, rho_va: float) -> Solution:
 # here as pure functions composed by the drivers
 # ---------------------------------------------------------------------------
 
-def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None):
+def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
+             pg_bounds=None):
     """x update: closed-form generators + batched branch TRON/ALM."""
     gd = model.grid
+    pgmin, pgmax = pg_bounds if pg_bounds is not None else (
+        model.pgmin_curr, model.pgmax_curr)
     u_gen = kernels.generator_update(
         sol.u.gen, sol.v.gen, sol.z.gen, sol.l.gen, sol.rho.gen,
-        model.pgmin_curr, model.pgmax_curr, gd.qgmin, gd.qgmax,
+        pgmin, pgmax, gd.qgmin, gd.qgmax,
         model.c2_eff, model.c1_eff, gd.baseMVA,
     )
     u_line, alm, stats = branch_update(

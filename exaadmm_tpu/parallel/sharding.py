@@ -93,7 +93,7 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
         avg_auglag_it=P(), avg_minor_it=P(),
     )
 
-    def inner(gd_local, pgmin_curr, pgmax_curr, sol, beta, outer):
+    def inner(gd_local, sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
         model_local = dataclasses.replace(
             model, grid=gd_local, pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr
         )
@@ -103,7 +103,9 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
             return (c.inner < inner_iterlim) & (c.primres > eps_pri)
 
         def body(c):
-            return _one_inner_iteration(model_local, c, beta, axis_name=axis)
+            return _one_inner_iteration(model_local, c, beta, axis_name=axis,
+                                        Pd=Pd, Qd=Qd,
+                                        pg_bounds=(pgmin_curr, pgmax_curr))
 
         dt = sol.u.gen.dtype
         c0 = InnerCarry(
@@ -123,13 +125,13 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
     sharded = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(grid_specs(gd, axis), P(), P(), sol_sp, P(), P()),
+        in_specs=(grid_specs(gd, axis), sol_sp, P(), P(), P(), P(), P(), P()),
         out_specs=carry_sp,
         check_vma=False,
     )
 
     @jax.jit
-    def run_inner(sol, beta, outer):
-        return sharded(gd, model.pgmin_curr, model.pgmax_curr, sol, beta, outer)
+    def run_inner(sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
+        return sharded(gd, sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr)
 
     return run_inner

@@ -33,3 +33,23 @@ def test_case9_two_level(case9_path):
     # same ballpark iteration effort as the reference (20 outer / 705 cumul)
     assert res.info.outer <= 25
     assert 100 <= res.info.cumul <= 5000
+
+
+def test_case9_rolling_horizon(case9_path):
+    import os
+    from exaadmm_tpu.interface.solve_acopf_rolling import solve_acopf_rolling
+
+    prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
+    res, infos = solve_acopf_rolling(
+        case9_path, prefix,
+        rho_pq=4e2, rho_va=4e4, outer_iterlim=25, outer_eps=2e-4,
+        start_period=1, end_period=3, verbose=0, tight_factor=1.0,
+    )
+    assert len(infos) == 3
+    for info in infos:
+        assert info.status == "Solved"
+    # warm-started periods converge much faster than the cold first period
+    assert infos[1].cumul < infos[0].cumul
+    # ramp-tightened bounds active
+    import numpy as np
+    assert np.all(np.asarray(res.model.pgmin_curr) >= np.asarray(res.model.grid.pgmin))
