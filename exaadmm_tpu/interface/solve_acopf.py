@@ -89,8 +89,9 @@ def solve_acopf(
 
         if use_projection:
             from ..models.pf.projection import pf_projection
-            sol, proj_info = pf_projection(data, model, sol)
+            sol, proj_info = pf_projection(data, model, sol, verbose=verbose)
             info.time_projection = proj_info.get("time", 0.0)
+            info.pf_residual = proj_info.get("pf_residual")
 
     del init_sol
     return SolveResult(data=data, model=model, solution=sol, info=info)

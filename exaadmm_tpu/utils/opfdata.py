@@ -43,6 +43,8 @@ class OPFData:
     qgmin: np.ndarray
     qgmax: np.ndarray
     vgm_setpoint: np.ndarray  # gen Vg setpoint (for mpec / primary control)
+    Pg0: np.ndarray           # case-file gen setpoints (per-unit, warm starts)
+    Qg0: np.ndarray
     ramp_agc: np.ndarray      # per-unit ramp limit from MATPOWER column (may be 0)
     c2: np.ndarray         # $/MW^2 h (raw MATPOWER units)
     c1: np.ndarray         # $/MW h
@@ -108,6 +110,8 @@ def opf_loaddata(case: str, case_format: str = "matpower", verbose: int = 1) -> 
         qgmin=d["gen"]["Qmin"],
         qgmax=d["gen"]["Qmax"],
         vgm_setpoint=d["gen"]["Vg"],
+        Pg0=d["gen"]["Pg"],
+        Qg0=d["gen"]["Qg"],
         ramp_agc=d["gen"].get("ramp_agc", np.zeros(len(gen_bus))) / d["baseMVA"],
         c2=d["gencost"]["c2"],
         c1=d["gencost"]["c1"],

@@ -96,6 +96,8 @@ def synthetic_case(
         gen_bus=gen_bus,
         pgmin=pgmin, pgmax=pgmax, qgmin=qgmin, qgmax=qgmax,
         vgm_setpoint=np.ones(ngen),
+        Pg0=0.5 * (pgmin + pgmax),
+        Qg0=np.zeros(ngen),
         ramp_agc=0.02 * pgmax,
         c2=c2, c1=c1, c0=c0,
         line_from=line_from,
