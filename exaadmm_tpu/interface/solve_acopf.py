@@ -49,6 +49,7 @@ def solve_acopf(
     pad_lines_to: int = 1,
     backend: str | None = None,
     mesh=None,
+    tron_step_cap: int | None = None,
 ) -> SolveResult:
     """Solve a single-period ACOPF with two-level ADMM.
 
@@ -67,6 +68,7 @@ def solve_acopf(
         scale=scale,
         outer_eps=outer_eps,
         verbose=verbose,
+        tron_step_cap=tron_step_cap,
     )
 
     device_ctx = (

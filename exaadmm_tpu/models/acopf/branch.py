@@ -77,13 +77,14 @@ def branch_obj_polar(x, p):
 
 
 def _branch_params(sol: Solution, gd: GridData, par: Parameters):
+    """Per-line parameters in the solver's rows layout (leaves (..., B))."""
     t = sol.v.line - sol.z.line  # prox target (membuf rows 17-24)
     return {
         "YffR": gd.YffR, "YffI": gd.YffI,
         "YftR": gd.YftR, "YftI": gd.YftI,
         "YttR": gd.YttR, "YttI": gd.YttI,
         "YtfR": gd.YtfR, "YtfI": gd.YtfI,
-        "l": sol.l.line, "rho": sol.rho.line, "t": t,
+        "l": sol.l.line.T, "rho": sol.rho.line.T, "t": t.T,
         # shaped off a line array so it stays correct under shard_map,
         # where the local line count is nline_padded / n_devices
         "scale": jnp.full_like(t[:, 0], par.scale),
@@ -91,7 +92,9 @@ def _branch_params(sol: Solution, gd: GridData, par: Parameters):
 
 
 def _warm_start_x0(u_line, gd: GridData, use_linelimit: bool):
-    """Warm start from current u (auglag kernel :42-47) and bounds."""
+    """Warm start from current u (auglag kernel :42-47) and bounds.
+
+    Rows layout: returns (n, B) arrays for the batched solver."""
     vi0 = jnp.clip(jnp.sqrt(jnp.maximum(u_line[:, 4], 0.0)),
                    gd.fr_vm_bound[:, 0], gd.fr_vm_bound[:, 1])
     vj0 = jnp.clip(jnp.sqrt(jnp.maximum(u_line[:, 5], 0.0)),
@@ -109,9 +112,9 @@ def _warm_start_x0(u_line, gd: GridData, use_linelimit: bool):
         cols += [sij0, sji0]
         lo += [-gd.rate_a, -gd.rate_a]
         hi += [jnp.zeros_like(gd.rate_a), jnp.zeros_like(gd.rate_a)]
-    x0 = jnp.stack(cols, axis=-1)
-    xl = jnp.stack(lo, axis=-1)
-    xu = jnp.stack(hi, axis=-1)
+    x0 = jnp.stack(cols, axis=0)
+    xl = jnp.stack(lo, axis=0)
+    xu = jnp.stack(hi, axis=0)
     return x0, xl, xu
 
 
@@ -140,31 +143,37 @@ def branch_update(
     gtol = max(par.tron_gtol, 40.0 * eps)
     frtol = max(par.tron_frtol, 10.0 * eps)
     ctol = max(par.alm_ctol, 300.0 * eps)
+    # large ALM penalties square into the Hessian; cap so the TR subproblem
+    # conditioning stays within the dtype (1e8 is fine in fp64, ruinous in
+    # fp32 where it makes tail lanes grind for hundreds of minor iterations)
+    mu_max = min(par.mu_max, 0.1 / eps)
 
     if use_linelimit:
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
         mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
-        lam0 = jnp.stack([alm.lam1, alm.lam2], axis=-1)
+        lam0 = jnp.stack([alm.lam1, alm.lam2], axis=0)
         res = tron_alm_batched(
             branch_obj_linelimit, branch_cons_linelimit,
             x0, xl, xu, params, lam0, mu0,
             gtol=gtol, frtol=frtol, ctol=ctol,
-            mu_max=par.mu_max, max_minor=par.tron_max_minor,
-            max_auglag=par.max_auglag, active0=active0,
+            mu_max=mu_max, max_minor=par.tron_max_minor,
+            max_auglag=par.max_auglag, step_cap=par.tron_step_cap,
+            active0=active0,
         )
-        new_alm = BranchALMState(lam1=res.lam[:, 0], lam2=res.lam[:, 1], mu=res.mu)
+        new_alm = BranchALMState(lam1=res.lam[0], lam2=res.lam[1], mu=res.mu)
         x = res.x
     else:
         x0, xl, xu = _warm_start_x0(u_line, gd, False)
         res = tron_batched(
             branch_obj_polar, x0, xl, xu, params,
             gtol=gtol, frtol=frtol,
-            max_minor=par.tron_max_minor, active0=active0,
+            max_minor=par.tron_max_minor, step_cap=par.tron_step_cap,
+            active0=active0,
         )
         new_alm = alm
         x = res.x
 
-    vi, vj, thi, thj = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+    vi, vj, thi, thj = x[0], x[1], x[2], x[3]
     cos_ij = jnp.cos(thi - thj)
     sin_ij = jnp.sin(thi - thj)
     vv_cos = vi * vj * cos_ij

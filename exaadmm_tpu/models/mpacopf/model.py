@@ -198,28 +198,28 @@ class ModelMpacopf:
             del p
             return jnp.stack([x[0] - x[1] - x[2]])
 
-        xl = jnp.stack([tile(gd.pgmin), tile(gd.pgmin), -tile(gd.ramp_rate)], -1)
-        xu = jnp.stack([tile(gd.pgmax), tile(gd.pgmax), tile(gd.ramp_rate)], -1)
+        xl = jnp.stack([tile(gd.pgmin), tile(gd.pgmin), -tile(gd.ramp_rate)], 0)
+        xu = jnp.stack([tile(gd.pgmax), tile(gd.pgmax), tile(gd.ramp_rate)], 0)
         x0 = jnp.stack([
-            jnp.clip(flat(ac.u.gen[..., 0]), xl[:, 0], xu[:, 0]),
-            jnp.clip(flat(rp.u), xl[:, 1], xu[:, 1]),
-            jnp.clip(flat(rp.s), xl[:, 2], xu[:, 2]),
-        ], -1)
+            jnp.clip(flat(ac.u.gen[..., 0]), xl[0], xu[0]),
+            jnp.clip(flat(rp.u), xl[1], xu[1]),
+            jnp.clip(flat(rp.s), xl[2], xu[2]),
+        ], 0)
 
         eps = float(jnp.finfo(dtype).eps)
         xi0 = jnp.where(inner_iter <= 1, jnp.full((B,), 10.0, dtype), flat(rp.alm_xi))
         res = tron_alm_batched(
             gen_obj, gen_cons, x0, xl, xu, gparams,
-            flat(rp.alm_mu)[:, None], xi0,
+            flat(rp.alm_mu)[None, :], xi0,
             gtol=max(self.par.tron_gtol, 40 * eps),
             frtol=max(self.par.tron_frtol, 10 * eps),
             ctol=max(self.par.alm_ctol, 300 * eps),
             mu_max=self.par.mu_max, max_minor=self.par.tron_max_minor,
             max_auglag=self.par.max_auglag,
         )
-        pg_rest = res.x[:, 0].reshape(T - 1, ngen)
-        phat = res.x[:, 1].reshape(T - 1, ngen)
-        s_new = res.x[:, 2].reshape(T - 1, ngen)
+        pg_rest = res.x[0].reshape(T - 1, ngen)
+        phat = res.x[1].reshape(T - 1, ngen)
+        s_new = res.x[2].reshape(T - 1, ngen)
 
         pg = jnp.concatenate([pg0[None], pg_rest], axis=0)
         u_gen = jnp.stack([pg, qg], axis=-1)
@@ -228,7 +228,7 @@ class ModelMpacopf:
             [jnp.zeros((1, ngen), dtype), a], axis=0)
         ramp_new = rp.replace(
             u=pad0(phat), s=pad0(s_new),
-            alm_mu=pad0(res.lam[:, 0].reshape(T - 1, ngen)),
+            alm_mu=pad0(res.lam[0].reshape(T - 1, ngen)),
             alm_xi=jnp.concatenate([rp.alm_xi[:1],
                                     res.mu.reshape(T - 1, ngen)], axis=0),
         )

@@ -1,0 +1,491 @@
+"""QP subproblem model (qpsub) — ADMM as the QP solver inside an outer SQP.
+
+Reference: ``/root/reference/src/models/qpsub/`` (structure documented at
+qpsub_model.jl:8-31). Variables are deltas around an SQP base point; the
+nonconvex line physics is replaced by:
+
+- an SQP-supplied 6x6 Hessian ``Hs`` per line over
+  (w_ijR, w_ijI, w_i, w_j, th_i, th_j),
+- two linearized equalities 1h (voltage product) and 1i (angle consistency)
+  with rows ``LH_1h/RH_1h``, ``LH_1i/RH_1i`` — eliminated exactly by solving
+  the 2x2 system for (w_ijR, w_ijI), giving an affine lift y8 = C x + d onto
+  the ExaTron ordering (t_ij, t_ji, w_ijR, w_ijI, w_i, w_j, th_i, th_j)
+  (qpsub_eval_Ab_linelimit_kernel_cpu.jl: eval_*_red),
+- linearized line limits 1j/1k with slacks t >= 0, handled by a per-line ALM
+  (qpsub_auglag_Ab_linelimit_kernel_red_cpu.jl).
+
+Uses ONE-LEVEL ADMM (solve_qpsub.jl:120-124). TPU design: the per-line box
+QPs solve as one flat TRON/ALM batch over the reduced 6 variables — the
+objective is quadratic, so the autodiff Hessian is exact and Newton steps
+land in one TR iteration; the w elimination and the 1j/1k constraint rows are
+precomputed (C, d, vec_1j, vec_1k) at model build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.tron import tron_alm_batched
+from ...utils.environment import Blocks, Parameters, Solution
+from ...utils.grid_data import GridData, build_grid_data
+from ...utils.opfdata import OPFData
+from ...utils.pytree import pytree_dataclass
+from ..acopf import kernels
+
+
+@pytree_dataclass
+class SolutionQpsub:
+    base: Solution            # u/v/l/rho/z/lz blocks (z unused: one-level)
+    sqp_line: jnp.ndarray     # (nline, 6) line deltas in Hs ordering
+    v_prev: Blocks            # for the Boyd dual residual
+    alm_lam_j: jnp.ndarray    # (nline,) lambda_1j (membuf row 3)
+    alm_lam_k: jnp.ndarray    # (nline,) lambda_1k (membuf row 4)
+    alm_mu: jnp.ndarray       # (nline,) shared ALM penalty (membuf row 5)
+
+    @property
+    def u(self):
+        return self.base.u
+
+
+@dataclasses.dataclass
+class ModelQpsub:
+    grid: GridData
+    par: Parameters
+    # SQP inputs (jnp):
+    Hs: jnp.ndarray          # (nline, 6, 6)
+    LH_1h: jnp.ndarray       # (nline, 4)
+    RH_1h: jnp.ndarray       # (nline,)
+    LH_1i: jnp.ndarray
+    RH_1i: jnp.ndarray
+    LH_1j: jnp.ndarray       # (nline, 2)
+    RH_1j: jnp.ndarray
+    LH_1k: jnp.ndarray
+    RH_1k: jnp.ndarray
+    ls: jnp.ndarray          # (nline, 6)
+    us: jnp.ndarray
+    c1: jnp.ndarray          # shifted gen cost (qpsub_c1)
+    c2: jnp.ndarray
+    pgmin: jnp.ndarray       # delta bounds (qpsub_pgmin ...)
+    pgmax: jnp.ndarray
+    qgmin: jnp.ndarray
+    qgmax: jnp.ndarray
+    Pd: jnp.ndarray          # residual loads (qpsub_Pd/Qd)
+    Qd: jnp.ndarray
+    line_res: jnp.ndarray | None = None  # (nline, 4) flow residuals
+
+    # derived (filled in __post_init__)
+    C: jnp.ndarray | None = None       # (nline, 8, 6) elimination lift
+    dvec: jnp.ndarray | None = None    # (nline, 8)
+    supY8: jnp.ndarray | None = None   # (nline, 4, 8) flow rows
+    vec_1j: jnp.ndarray | None = None  # (nline, 8)
+    vec_1k: jnp.ndarray | None = None
+
+    def __post_init__(self):
+        gd = self.grid
+        nl = gd.nline_padded
+        if self.line_res is None:
+            self.line_res = jnp.zeros((nl, 4), self.Hs.dtype)
+        # supY in the 8-dim ExaTron ordering (eval_A_auglag_..., rows pij qij
+        # pji qji over [t_ij t_ji wijR wijI wi wj thi thj])
+        z = np.zeros(nl)
+        Y = [np.asarray(a, np.float64) for a in
+             (gd.YftR, gd.YftI, gd.YffR, gd.YffI, gd.YtfR, gd.YtfI,
+              gd.YttR, gd.YttI)]
+        YftR, YftI, YffR, YffI, YtfR, YtfI, YttR, YttI = Y
+        supY8 = np.stack([
+            np.stack([z, z, YftR, YftI, YffR, z, z, z], -1),
+            np.stack([z, z, -YftI, YftR, -YffI, z, z, z], -1),
+            np.stack([z, z, YtfR, -YtfI, z, YttR, z, z], -1),
+            np.stack([z, z, -YtfI, -YtfR, z, -YttI, z, z], -1),
+        ], axis=1)  # (nl, 4, 8)
+
+        LH_1h = np.asarray(self.LH_1h, np.float64)
+        LH_1i = np.asarray(self.LH_1i, np.float64)
+        LH_1j = np.asarray(self.LH_1j, np.float64)
+        LH_1k = np.asarray(self.LH_1k, np.float64)
+        RH_1h = np.asarray(self.RH_1h, np.float64)
+        RH_1i = np.asarray(self.RH_1i, np.float64)
+
+        # 2x2 elimination of (w_ijR, w_ijI):
+        #   [LH_1h[0] LH_1h[1]; LH_1i[0] LH_1i[1]] w = RH - LH[2:4] rest
+        M = np.stack([LH_1h[:, :2], LH_1i[:, :2]], axis=1)  # (nl, 2, 2)
+        det = M[:, 0, 0] * M[:, 1, 1] - M[:, 0, 1] * M[:, 1, 0]
+        det = np.where(np.abs(det) > 1e-30, det, 1.0)
+        Minv = (np.stack([
+            np.stack([M[:, 1, 1], -M[:, 0, 1]], -1),
+            np.stack([-M[:, 1, 0], M[:, 0, 0]], -1),
+        ], axis=1) / det[:, None, None])
+        # rest-dependence rows: 1h on (wi, wj) at cols 2,3 of the 6-var
+        # reduced ordering (t_ij, t_ji, wi, wj, thi, thj); 1i on (thi, thj)
+        R = np.zeros((nl, 2, 6))
+        R[:, 0, 2] = LH_1h[:, 2]
+        R[:, 0, 3] = LH_1h[:, 3]
+        R[:, 1, 4] = LH_1i[:, 2]
+        R[:, 1, 5] = LH_1i[:, 3]
+        C_ij = -np.einsum("lab,lbk->lak", Minv, R)  # (nl, 2, 6)
+        d_ij = np.einsum("lab,lb->la", Minv,
+                         np.stack([RH_1h, RH_1i], -1))
+
+        C = np.zeros((nl, 8, 6))
+        C[:, 0, 0] = 1.0
+        C[:, 1, 1] = 1.0
+        C[:, 2:4, :] = C_ij
+        C[:, 4, 2] = 1.0
+        C[:, 5, 3] = 1.0
+        C[:, 6, 4] = 1.0
+        C[:, 7, 5] = 1.0
+        d = np.zeros((nl, 8))
+        d[:, 2:4] = d_ij
+
+        e0 = np.zeros((nl, 8)); e0[:, 0] = 1.0
+        e1 = np.zeros((nl, 8)); e1[:, 1] = 1.0
+        vec_1j = e0 + LH_1j[:, 0:1] * supY8[:, 0] + LH_1j[:, 1:2] * supY8[:, 1]
+        vec_1k = e1 + LH_1k[:, 0:1] * supY8[:, 2] + LH_1k[:, 1:2] * supY8[:, 3]
+
+        dt = self.Hs.dtype
+        self.C = jnp.asarray(C, dt)
+        self.dvec = jnp.asarray(d, dt)
+        self.supY8 = jnp.asarray(supY8, dt)
+        self.vec_1j = jnp.asarray(vec_1j, dt)
+        self.vec_1k = jnp.asarray(vec_1k, dt)
+
+    @property
+    def nvar(self) -> int:
+        return 2 * self.grid.ngen + 8 * self.grid.nline
+
+    # ---- hook protocol (one-level) --------------------------------------
+    def rho_norm(self, sol: SolutionQpsub):
+        from ...utils.environment import blocks_norm
+        return float(blocks_norm(sol.base.rho, self.grid.line_mask))
+
+    def one_level_reset(self, sol: SolutionQpsub) -> SolutionQpsub:
+        zero = jax.tree.map(jnp.zeros_like, sol.base.z)
+        return sol.replace(base=sol.base.replace(
+            z=zero, z_prev=zero, lz=jax.tree.map(jnp.zeros_like, sol.base.lz)))
+
+    def update_x(self, sol: SolutionQpsub, inner_iter, axis_name=None,
+                 pg_bounds=None):
+        assert axis_name is None
+        gd = self.grid
+        b = sol.base
+        u_gen = kernels.generator_update(
+            b.u.gen, b.v.gen, b.z.gen, b.l.gen, b.rho.gen,
+            self.pgmin, self.pgmax, self.qgmin, self.qgmax,
+            self.c2, self.c1, gd.baseMVA,
+        )
+
+        # ---- batched reduced branch QP + ALM on 1j/1k ----
+        nl = gd.nline_padded
+        dt = b.u.gen.dtype
+        lL, rL = b.l.line, b.rho.line
+        vz = b.v.line - b.z.line
+
+        # base QP over z6 = (wijR, wijI, wi, wj, thi, thj):
+        # A_br = Hs + sum_k rho_k supY6_k supY6_k^T + diag(rho[4:8]) rows 2..5
+        supY6 = self.supY8[:, :, 2:]            # (nl, 4, 6)
+        A_br = self.Hs + jnp.einsum("lk,lki,lkj->lij", rL[:, :4], supY6, supY6)
+        A_br = A_br + jnp.concatenate(
+            [jnp.zeros((nl, 2), dt), rL[:, 4:]], axis=1)[:, :, None] * \
+            jnp.eye(6, dtype=dt)[None]
+        # b_br = sum_k (l_k - rho_k (v_k - z_k - res_k)) supY6_k + rows 4..7
+        coef = lL[:, :4] - rL[:, :4] * (vz[:, :4] - self.line_res)
+        b_br = jnp.einsum("lk,lki->li", coef, supY6)
+        b_br = b_br + jnp.concatenate(
+            [jnp.zeros((nl, 2), dt), lL[:, 4:] - rL[:, 4:] * vz[:, 4:]], axis=1)
+
+        # rows-layout params for the batched solver
+        params = {
+            "C": jnp.transpose(self.C, (1, 2, 0)),       # (8,6,B)
+            "d": self.dvec.T,                            # (8,B)
+            "A": jnp.transpose(A_br, (1, 2, 0)),         # (6,6,B)
+            "b": b_br.T,                                 # (6,B)
+            "v1j": self.vec_1j.T, "v1k": self.vec_1k.T,  # (8,B)
+            "r1j": self.RH_1j, "r1k": self.RH_1k,        # (B,)
+            "scale": jnp.full((nl,), self.par.scale, dt),
+        }
+
+        def lift(x, p):
+            return jnp.stack([
+                sum(p["C"][i][j] * x[j] for j in range(6)) + p["d"][i]
+                for i in range(8)
+            ])
+
+        def qp_obj(x, p, lam, mu):
+            y = lift(x, p)
+            z6 = y[2:]
+            Az = [sum(p["A"][i][j] * z6[j] for j in range(6)) for i in range(6)]
+            f = sum((0.5 * Az[i] + p["b"][i]) * z6[i] for i in range(6))
+            c3 = sum(p["v1j"][i] * y[i] for i in range(8)) - p["r1j"]
+            c4 = sum(p["v1k"][i] * y[i] for i in range(8)) - p["r1k"]
+            f = f + lam[0] * c3 + lam[1] * c4 + 0.5 * mu * (c3 * c3 + c4 * c4)
+            return f * p["scale"]
+
+        def qp_cons(x, p):
+            y = lift(x, p)
+            return jnp.stack([
+                sum(p["v1j"][i] * y[i] for i in range(8)) - p["r1j"],
+                sum(p["v1k"][i] * y[i] for i in range(8)) - p["r1k"],
+            ])
+
+        big = jnp.full((nl,), 200000.0, dt)
+        zerov = jnp.zeros((nl,), dt)
+        xl = jnp.concatenate([zerov[None], zerov[None], self.ls[:, 2:].T])
+        xu = jnp.concatenate([big[None], big[None], self.us[:, 2:].T])
+        x0 = jnp.concatenate([zerov[None], zerov[None], sol.sqp_line[:, 2:].T])
+        x0 = jnp.clip(x0, xl, xu)
+
+        eps = float(jnp.finfo(dt).eps)
+        mu0 = jnp.where(inner_iter <= 1, jnp.full((nl,), 10.0, dt), sol.alm_mu)
+        lam0 = jnp.stack([sol.alm_lam_j, sol.alm_lam_k])
+        active0 = gd.line_mask > 0.5
+        res = tron_alm_batched(
+            qp_obj, qp_cons, x0, xl, xu, params, lam0, mu0,
+            gtol=max(self.par.tron_gtol, 40 * eps),
+            frtol=max(self.par.tron_frtol, 10 * eps),
+            ctol=max(self.par.alm_ctol, 300 * eps),
+            mu_max=self.par.mu_max, max_minor=self.par.tron_max_minor,
+            max_auglag=self.par.max_auglag, active0=active0,
+        )
+        x = res.x                                    # (6, B)
+        y = lift(x, params)                          # (8, B)
+        sqp_line = jnp.transpose(y[2:])              # (B, 6) Hs ordering
+        flows = jnp.einsum("lki,il->lk",
+                           self.supY8, y) + self.line_res  # (B, 4)
+        u_line = jnp.concatenate([flows, jnp.transpose(x[2:])], axis=1)
+        u_line = jnp.where(active0[:, None], u_line, b.u.line)
+
+        new = sol.replace(
+            base=b.replace(u=Blocks(gen=u_gen, line=u_line)),
+            sqp_line=jnp.where(active0[:, None], sqp_line, sol.sqp_line),
+            alm_lam_j=res.lam[0], alm_lam_k=res.lam[1], alm_mu=res.mu,
+        )
+        stats = {
+            "avg_auglag_it": jnp.sum(res.alm_iters * gd.line_mask) / gd.nline,
+            "avg_minor_it": jnp.sum(res.minor_iters * gd.line_mask) / gd.nline,
+        }
+        return new, stats
+
+    def update_xbar(self, sol: SolutionQpsub, Pd=None, Qd=None, axis_name=None):
+        b = sol.base
+        v = kernels.bus_update(b.u, b.z, b.l, b.rho, self.grid,
+                               Pd=self.Pd if Pd is None else Pd,
+                               Qd=self.Qd if Qd is None else Qd,
+                               axis_name=axis_name)
+        return sol.replace(base=b.replace(v=v), v_prev=b.v)
+
+    def update_l_single(self, sol: SolutionQpsub):
+        b = sol.base
+        l = jax.tree.map(lambda ll, uu, vv, rr: ll + rr * (uu - vv),
+                         b.l, b.u, b.v, b.rho)
+        return sol.replace(base=b.replace(l=l))
+
+    def update_residual(self, sol: SolutionQpsub, beta, axis_name=None):
+        del beta
+        gd = self.grid
+        b = sol.base
+        m = gd.line_mask
+        rp = jax.tree.map(lambda uu, vv: uu - vv, b.u, b.v)
+        rd = jax.tree.map(lambda rr, vv, vp: rr * (vv - vp),
+                          b.rho, b.v, sol.v_prev)
+
+        def nrm(blk):
+            return jnp.sqrt(jnp.sum(blk.gen**2)
+                            + jnp.sum(blk.line**2 * m[:, None]))
+
+        primres = nrm(rp)
+        dualres = nrm(rd)
+
+        pg = gd.baseMVA * b.u.gen[:, 0]
+        objval = jnp.sum(self.c2 * pg**2 + self.c1 * pg)
+        objval = objval + 0.5 * jnp.sum(
+            jnp.einsum("li,lij,lj->l", sol.sqp_line, self.Hs, sol.sqp_line) * m)
+
+        auglag = objval + (
+            jnp.sum(b.l.gen * rp.gen) + jnp.sum(b.l.line * rp.line * m[:, None])
+            + 0.5 * (jnp.sum(b.rho.gen * rp.gen**2)
+                     + jnp.sum(b.rho.line * rp.line**2 * m[:, None])))
+
+        scalars = {
+            "primres": primres, "dualres": dualres, "mismatch": primres,
+            "objval": objval, "auglag": auglag,
+        }
+        return sol.replace(base=b.replace(rp=rp, rd=rd)), scalars
+
+
+def build_model(data_or_grid, par: Parameters, qp_inputs: dict, *,
+                use_linelimit: bool = True, tight_factor: float = 1.0,
+                dtype=jnp.float64) -> ModelQpsub:
+    """qp_inputs: Hs (6nline,6) or (nline,6,6), LH_1h, RH_1h, LH_1i, RH_1i,
+    LH_1j, RH_1j, LH_1k, RH_1k, ls, us, pgmax, pgmin, qgmax, qgmin, c1, c2,
+    Pd, Qd (reference solve_qpsub positional argument list)."""
+    if isinstance(data_or_grid, GridData):
+        gd = data_or_grid
+    else:
+        gd = build_grid_data(data_or_grid, tight_factor=tight_factor,
+                             dtype=dtype)
+    q = {k: np.asarray(v, np.float64) for k, v in qp_inputs.items()}
+    Hs = q["Hs"]
+    if Hs.ndim == 2:
+        Hs = Hs.reshape(gd.nline, 6, 6)
+    obj_scale = par.obj_scale
+    f = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    return ModelQpsub(
+        grid=gd, par=par,
+        Hs=f(Hs * obj_scale),
+        LH_1h=f(q["LH_1h"]), RH_1h=f(q["RH_1h"]),
+        LH_1i=f(q["LH_1i"]), RH_1i=f(q["RH_1i"]),
+        LH_1j=f(q["LH_1j"]), RH_1j=f(q["RH_1j"]),
+        LH_1k=f(q["LH_1k"]), RH_1k=f(q["RH_1k"]),
+        ls=f(q["ls"]), us=f(q["us"]),
+        c1=f(q["c1"] * obj_scale), c2=f(q["c2"] * obj_scale),
+        pgmin=f(q["pgmin"]), pgmax=f(q["pgmax"]),
+        qgmin=f(q["qgmin"]), qgmax=f(q["qgmax"]),
+        Pd=f(q["Pd"]), Qd=f(q["Qd"]),
+    )
+
+
+def init_solution(model: ModelQpsub, rho_pq: float, rho_va: float) -> SolutionQpsub:
+    """qpsub flat start (qpsub_init_solution_cpu.jl:8-67): v gens at delta
+    bound midpoints, sqp_line at (ls+us)/2 pushed through supY, rho = rho_pq
+    for gens / flows with rho_va on ALL 8 line rows."""
+    gd = model.grid
+    dt = model.Hs.dtype
+    nl = gd.nline_padded
+    base = Solution.zeros(gd.ngen, nl, dt)
+
+    rho = Blocks(
+        gen=jnp.full((gd.ngen, 2), rho_pq, dt),
+        line=jnp.full((nl, 8), rho_va, dt),
+    )
+    v_gen = jnp.stack([0.5 * (model.pgmin + model.pgmax),
+                       0.5 * (model.qgmin + model.qgmax)], axis=-1)
+    sqp0 = 0.5 * (model.ls + model.us)                     # (nl, 6)
+    supY6 = model.supY8[:, :, 2:]                          # (nl, 4, 6)
+    flows0 = jnp.einsum("lki,li->lk", supY6, sqp0)
+    v_line = jnp.concatenate([flows0, sqp0[:, 2:]], axis=1) * gd.line_mask[:, None]
+
+    base = base.replace(rho=rho, v=Blocks(gen=v_gen, line=v_line))
+    return SolutionQpsub(
+        base=base,
+        sqp_line=sqp0,
+        v_prev=base.v,
+        alm_lam_j=jnp.zeros((nl,), dt),
+        alm_lam_k=jnp.zeros((nl,), dt),
+        alm_mu=jnp.full((nl,), 10.0, dt),
+    )
+
+
+def poststep(model: ModelQpsub, sol: SolutionQpsub):
+    """Collect the SQP outputs (qpsub_admm_prepoststep_cpu.jl): d* solution
+    blocks, per-bus consensus averages, the dual-infeasibility KKT vector,
+    and the 14h/14i/14j/14k constraint multipliers."""
+    gd = model.grid
+    nl, nb, ng = gd.nline, gd.nbus, gd.ngen
+    u_gen = np.asarray(sol.base.u.gen)
+    u_line = np.asarray(sol.base.u.line)[:nl]
+    sqp = np.asarray(sol.sqp_line)[:nl]
+    Hs = np.asarray(model.Hs)[:nl]
+    f, t = np.asarray(gd.line_from)[:nl], np.asarray(gd.line_to)[:nl]
+
+    dpg_sol = u_gen[:, 0].copy()
+    dqg_sol = u_gen[:, 1].copy()
+    dline_var = sqp.T.copy()
+    dline_fl = u_line[:, :4].T.copy()
+
+    cnt = np.bincount(f, minlength=nb) + np.bincount(t, minlength=nb)
+    cnt = np.maximum(cnt, 1)
+    dw_sol = (np.bincount(f, weights=sqp[:, 2], minlength=nb)
+              + np.bincount(t, weights=sqp[:, 3], minlength=nb)) / cnt
+    dtheta_sol = (np.bincount(f, weights=sqp[:, 4], minlength=nb)
+                  + np.bincount(t, weights=sqp[:, 5], minlength=nb)) / cnt
+
+    # dual infeasibility: unscaled KKT stationarity pieces
+    pg_di = 2.0 * np.asarray(model.c2) * float(gd.baseMVA) ** 2 * u_gen[:, 0]
+    line_di = np.einsum("lij,lj->li", Hs, sqp).reshape(-1)
+    dual_infeas = np.concatenate([pg_di, line_di])
+
+    # multipliers for 14h/14i/14j/14k from the reduced-QP gradient at the
+    # solution (qpsub_auglag_Ab_...red_cpu.jl:139-156)
+    import jax as _jax
+    # rebuild the final objective gradient wrt the reduced x
+    b = sol.base
+    lL, rL = b.l.line, b.rho.line
+    vz = b.v.line - b.z.line
+    supY6 = model.supY8[:, :, 2:]
+    A_br = model.Hs + jnp.einsum("lk,lki,lkj->lij", rL[:, :4], supY6, supY6)
+    dt = model.Hs.dtype
+    A_br = A_br + jnp.concatenate(
+        [jnp.zeros((gd.nline_padded, 2), dt), rL[:, 4:]], axis=1)[:, :, None] * \
+        jnp.eye(6, dtype=dt)[None]
+    coef = lL[:, :4] - rL[:, :4] * (vz[:, :4] - model.line_res)
+    b_br = jnp.einsum("lk,lki->li", coef, supY6)
+    b_br = b_br + jnp.concatenate(
+        [jnp.zeros((gd.nline_padded, 2), dt),
+         lL[:, 4:] - rL[:, 4:] * vz[:, 4:]], axis=1)
+
+    x_red = jnp.concatenate([
+        jnp.zeros((gd.nline_padded, 2), dt), sol.sqp_line[:, 2:]], axis=1)
+    # t slacks recovered from u flows? The reference keeps tron.x; recompute
+    # t from the 1j/1k rows: t = RH - LH.(flows)
+    flows = sol.base.u.line[:, :4] - model.line_res
+    t_ij = model.RH_1j - jnp.sum(model.LH_1j * flows[:, :2], axis=1)
+    t_ji = model.RH_1k - jnp.sum(model.LH_1k * flows[:, 2:4], axis=1)
+    x_red = x_red.at[:, 0].set(t_ij).at[:, 1].set(t_ji)
+
+    params = {
+        "C": jnp.transpose(model.C, (1, 2, 0)), "d": model.dvec.T,
+        "A": jnp.transpose(A_br, (1, 2, 0)), "b": b_br.T,
+        "v1j": model.vec_1j.T, "v1k": model.vec_1k.T,
+        "r1j": model.RH_1j, "r1k": model.RH_1k,
+        "scale": jnp.full((gd.nline_padded,), model.par.scale, dt),
+    }
+
+    def qp_obj_sum(X):
+        def lift(x, p):
+            return jnp.stack([
+                sum(p["C"][i][j] * x[j] for j in range(6)) + p["d"][i]
+                for i in range(8)
+            ])
+        y = lift(X, params)
+        z6 = y[2:]
+        Az = [sum(params["A"][i][j] * z6[j] for j in range(6)) for i in range(6)]
+        fval = sum((0.5 * Az[i] + params["b"][i]) * z6[i] for i in range(6))
+        c3 = sum(params["v1j"][i] * y[i] for i in range(8)) - params["r1j"]
+        c4 = sum(params["v1k"][i] * y[i] for i in range(8)) - params["r1k"]
+        fval = fval + sol.alm_lam_j * c3 + sol.alm_lam_k * c4 \
+            + 0.5 * sol.alm_mu * (c3 * c3 + c4 * c4)
+        return jnp.sum(fval * params["scale"])
+
+    trg = np.asarray(_jax.grad(qp_obj_sum)(x_red.T)).T[:nl]  # (nl, 6)
+
+    LH_1h = np.asarray(model.LH_1h)[:nl]
+    LH_1i = np.asarray(model.LH_1i)[:nl]
+    Yd = {k: np.asarray(getattr(gd, k))[:nl]
+          for k in ("YftR", "YftI", "YtfR", "YtfI")}
+    lam = np.zeros((4, nl))
+    for l in range(nl):
+        tmpH = np.linalg.inv(np.array([[LH_1h[l, 0], LH_1i[l, 0]],
+                                       [LH_1h[l, 1], LH_1i[l, 1]]]))
+        pij, qij, pji, qji = u_line[l, :4]
+        tmp14_i = np.array([2 * pij * Yd["YftR"][l] + 2 * qij * (-Yd["YftI"][l]),
+                            2 * pij * Yd["YftI"][l] + 2 * qij * Yd["YftR"][l]])
+        tmp14_h = np.array([2 * pji * Yd["YtfR"][l] + 2 * qji * (-Yd["YtfI"][l]),
+                            2 * pji * (-Yd["YtfI"][l]) + 2 * qji * (-Yd["YtfR"][l])])
+        Hbr = Hs[l]
+        rhs = (trg[l, 0] * tmp14_i + trg[l, 1] * tmp14_h
+               + Hbr[:2, :2] @ sqp[l, :2] + Hbr[:2, 2:] @ sqp[l, 2:]
+               + np.asarray(b_br)[l, :2])
+        lam[0:2, l] = -tmpH @ rhs
+        lam[2, l] = -abs(trg[l, 0])
+        lam[3, l] = -abs(trg[l, 1])
+
+    return {
+        "dpg_sol": dpg_sol, "dqg_sol": dqg_sol,
+        "dline_var": dline_var, "dline_fl": dline_fl,
+        "dw_sol": dw_sol, "dtheta_sol": dtheta_sol,
+        "dual_infeas": dual_infeas, "lambda": lam,
+    }

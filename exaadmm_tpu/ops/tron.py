@@ -9,16 +9,25 @@ for the per-line ALM loop that wraps it
 
 Design: instead of one CUDA block per subproblem running divergent loops, ALL
 subproblems advance in lockstep through a single flat state machine inside one
-``lax.while_loop`` whose body is fully batched: gradient/Hessian by autodiff,
-6x6 factorizations unrolled onto the VPU, bound handling by masking. Each
-lane (subproblem) carries its own phase (TRON minor iteration vs ALM
-multiplier round vs done); the loop runs until every lane finishes. This is
-uniform control flow — exactly what the TPU wants — at the cost of masked
-work for early finishers.
+``lax.while_loop`` whose body is fully batched. Each lane (subproblem)
+carries its own phase (TRON minor iteration vs ALM multiplier round vs done);
+the loop runs until every lane finishes — uniform control flow at the cost of
+masked work for early finishers.
+
+LAYOUT: everything is transposed, "rows" layout — iterates are (n, B), the
+Hessian is (n, n, B), parameters are (..., B). The batch dimension B is
+minor-most so it maps onto the TPU's 128-wide vector lanes; with the natural
+(B, n) layout the VPU would idle 122 of 128 lanes (n=6). All dense 6x6
+factorizations unroll to scalar-per-row ops on (B,) vectors.
+
+Derivatives come from autodiff in the same layout:
+  gradient: d/dX sum_b f_b(X)  ->  (n, B), exact per-lane gradients since f
+  is elementwise over lanes;
+  Hessian: n Hessian-vector products jvp(grad, e_j)  ->  (n, n, B).
 
 Algorithm per lane (faithful to Lin & More's TRON as used by ExaTron):
   - Cauchy point along the projected gradient with sufficient decrease
-    (mu0 = 0.01, interpolation x0.1 / extrapolation x10),
+    (mu0 = 0.01, interpolation x0.1 / extrapolation x10, warm-started step),
   - Newton step on the free variables via shifted dense Cholesky, clipped to
     the trust region, then a projected backtracking search,
   - actual/predicted reduction ratio tests with TRON's radius-update
@@ -28,19 +37,16 @@ Algorithm per lane (faithful to Lin & More's TRON as used by ExaTron):
     reduction <= frtol, or the minor-iteration cap,
   - ALM round on TRON convergence: lambda += mu*c when ||c||_inf <= eta
     (Lancelot eta-ladder eta /= mu^0.9), else mu = min(10*mu, mu_max) with
-    eta = mu^-0.1; line finishes when ||c||_inf <= ctol or the round cap.
+    eta = mu^-0.1; a lane finishes when ||c||_inf <= ctol or the round cap.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-from .small_linalg import solve_spd_shifted
 
 # TRON constants (Lin & More)
 _MU0 = 0.01       # sufficient decrease for Cauchy/projected searches
@@ -54,8 +60,8 @@ _PRSRCH_ITERS = 20
 
 
 class TronALMResult(NamedTuple):
-    x: jnp.ndarray       # (B, n) final iterates
-    lam: jnp.ndarray     # (B, ncon) ALM multipliers
+    x: jnp.ndarray       # (n, B) final iterates
+    lam: jnp.ndarray     # (ncon, B) ALM multipliers
     mu: jnp.ndarray      # (B,) ALM penalties
     minor_iters: jnp.ndarray  # (B,) total TR iterations
     alm_iters: jnp.ndarray    # (B,) ALM rounds taken
@@ -69,7 +75,7 @@ class _State(NamedTuple):
     alpha_c: jnp.ndarray
     tron_it: jnp.ndarray
     tron_done: jnp.ndarray
-    need_init: jnp.ndarray   # fresh TRON solve: delta <- ||g||
+    need_init: jnp.ndarray
     lam: jnp.ndarray
     mu: jnp.ndarray
     eta: jnp.ndarray
@@ -77,28 +83,80 @@ class _State(NamedTuple):
     active: jnp.ndarray
     minor_total: jnp.ndarray
     cviol: jnp.ndarray
-    steps: jnp.ndarray       # scalar global step counter
+    steps: jnp.ndarray
 
 
 def _gp_norm_inf(x, g, xl, xu):
     gp = g
     gp = jnp.where(x <= xl, jnp.minimum(g, 0.0), gp)
     gp = jnp.where(x >= xu, jnp.maximum(gp, 0.0), gp)
-    return jnp.max(jnp.abs(gp), axis=-1)
+    return jnp.max(jnp.abs(gp), axis=0)
 
 
 def _norm2(s):
-    return jnp.sqrt(jnp.sum(s * s, axis=-1))
+    return jnp.sqrt(jnp.sum(s * s, axis=0))
+
+
+def _chol_solve_rows(H, rhs, tau):
+    """Solve (H + tau*I) d = rhs per lane; H (n,n,B) rows layout, rhs (n,B).
+
+    Unrolled dense Cholesky on (B,)-vector scalars; returns (d, ok) where ok
+    marks lanes whose pivots stayed positive.
+    """
+    n = len(H)
+    L = [[None] * n for _ in range(n)]
+    ok = jnp.ones(rhs.shape[-1], dtype=bool)
+    for j in range(n):
+        s = H[j][j] + tau
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        ok = ok & (s > 0)
+        piv = jnp.sqrt(jnp.where(s > 0, s, 1.0))
+        L[j][j] = piv
+        inv_piv = 1.0 / piv
+        for i in range(j + 1, n):
+            t = H[i][j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv_piv
+    y = [None] * n
+    for i in range(n):
+        t = rhs[i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t / L[i][i]
+    d = [None] * n
+    for i in reversed(range(n)):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * d[k]
+        d[i] = t / L[i][i]
+    return jnp.stack(d, axis=0), ok
+
+
+def _newton_dir_rows(H, rhs):
+    """Smallest-shift Newton direction (rows layout). Mirrors TRON's shifted
+    incomplete Cholesky (dicfs); dense+exact here since n<=6."""
+    diag = jnp.stack([jnp.abs(H[i][i]) for i in range(len(H))], axis=0)
+    dmax = jnp.maximum(jnp.max(diag, axis=0), 1.0)
+    d = jnp.zeros_like(rhs)
+    solved = jnp.zeros(rhs.shape[-1], dtype=bool)
+    for level in (0.0, 1e-10, 1e-6, 1e-3, 1.0, 1e3):
+        cand, ok = _chol_solve_rows(H, rhs, dmax * level)
+        take = ok & ~solved
+        d = jnp.where(take[None, :], cand, d)
+        solved = solved | ok
+    return d, solved
 
 
 def tron_alm_batched(
-    obj_fn: Callable,    # (x (n,), params_slice, lam (ncon,), mu scalar) -> scalar
-    cons_fn: Callable,   # (x (n,), params_slice) -> (ncon,)
-    x0: jnp.ndarray,     # (B, n)
+    obj_fn: Callable,    # (x (n,B), params, lam (ncon,B), mu (B,)) -> (B,)
+    cons_fn: Callable,   # (x (n,B), params) -> (ncon, B)
+    x0: jnp.ndarray,     # (n, B)
     xl: jnp.ndarray,
     xu: jnp.ndarray,
-    params,              # pytree, leaves with leading dim B
-    lam0: jnp.ndarray,   # (B, ncon)
+    params,              # pytree, leaves (..., B) broadcastable in obj_fn
+    lam0: jnp.ndarray,   # (ncon, B)
     mu0: jnp.ndarray,    # (B,)
     *,
     gtol: float = 1e-6,
@@ -107,134 +165,166 @@ def tron_alm_batched(
     mu_max: float = 1e8,
     max_minor: int = 200,
     max_auglag: int = 50,
+    step_cap: int | None = None,
     active0: jnp.ndarray | None = None,
 ) -> TronALMResult:
     """Solve B independent bound-constrained ALM problems in lockstep.
 
-    ``obj_fn`` is the FULL augmented objective (base + lam.c + 0.5 mu |c|^2);
-    gradients and Hessians are derived from it by autodiff (forward-over-
-    reverse), replacing the reference's 600-line hand-derived eval kernels
-    (acopf_eval_linelimit_kernel_cpu.jl).
+    ``obj_fn`` is the FULL augmented objective (base + lam.c + 0.5 mu |c|^2)
+    written row-wise (x[0], x[1], ... are (B,) vectors); gradients and
+    Hessians are derived from it by autodiff, replacing the reference's
+    600-line hand-derived eval kernels (acopf_eval_linelimit_kernel_cpu.jl).
     """
-    B, n = x0.shape
+    n, B = x0.shape
     dtype = x0.dtype
+    ncon = lam0.shape[0]
 
-    f_batched = jax.vmap(obj_fn, in_axes=(0, 0, 0, 0))
-    grad_batched = jax.vmap(jax.grad(obj_fn), in_axes=(0, 0, 0, 0))
-    hess_batched = jax.vmap(jax.jacfwd(jax.grad(obj_fn)), in_axes=(0, 0, 0, 0))
-    cons_batched = jax.vmap(cons_fn, in_axes=(0, 0))
+    def f_batched(X, lam, mu):
+        return obj_fn(X, params, lam, mu)
 
-    def cviol_inf(x):
-        c = cons_batched(x, params)
-        if c.shape[-1] == 0:
+    def f_sum(X, lam, mu):
+        return jnp.sum(obj_fn(X, params, lam, mu))
+
+    grad_fn = jax.grad(f_sum, argnums=0)
+
+    def grad_hess(X, lam, mu):
+        g = grad_fn(X, lam, mu)
+        eye = jnp.eye(n, dtype=dtype)
+        cols = []
+        for j in range(n):
+            tangent = jnp.broadcast_to(eye[:, j][:, None], (n, B))
+            _, hj = jax.jvp(lambda Y: grad_fn(Y, lam, mu), (X,), (tangent,))
+            cols.append(hj)
+        # H[i][j] is a (B,) vector: row i of H e_j
+        H = [[cols[j][i] for j in range(n)] for i in range(n)]
+        return g, H
+
+    def hmatvec(H, s):
+        out = []
+        for i in range(n):
+            acc = H[i][0] * s[0]
+            for j in range(1, n):
+                acc = acc + H[i][j] * s[j]
+            out.append(acc)
+        return jnp.stack(out, axis=0)
+
+    def cviol_inf(X):
+        c = cons_fn(X, params)
+        if ncon == 0:
             return jnp.zeros((B,), dtype), c
-        return jnp.max(jnp.abs(c), axis=-1), c
+        return jnp.max(jnp.abs(c), axis=0), c
 
     def tr_step(x, f, g, H, delta, alpha_c, lam, mu):
-        """One TRON iteration for all lanes; returns updated quantities."""
-        Hs = lambda s: jnp.einsum("bij,bj->bi", H, s)  # noqa: E731
-
         def qval(s):
-            return jnp.sum(g * s, axis=-1) + 0.5 * jnp.sum(s * Hs(s), axis=-1)
+            return jnp.sum(g * s, axis=0) + 0.5 * jnp.sum(s * hmatvec(H, s), axis=0)
 
         def proj(y):
             return jnp.clip(y, xl, xu)
 
         def s_of(a):
-            return proj(x - a[:, None] * g) - x
+            return proj(x - a[None, :] * g) - x
 
         def cauchy_ok(a):
             s = s_of(a)
-            return (_norm2(s) <= delta) & (qval(s) <= _MU0 * jnp.sum(g * s, axis=-1))
+            return (_norm2(s) <= delta) & (qval(s) <= _MU0 * jnp.sum(g * s, axis=0))
 
         # --- Cauchy point (dcauchy): warm-started alpha ---
         a0 = jnp.maximum(alpha_c, 1e-30)
         need_interp = ~cauchy_ok(a0)
 
-        def interp_body(_, carry):
-            a, stop = carry
-            good = cauchy_ok(a)
-            stop2 = stop | good
-            a2 = jnp.where(stop2, a, a * _INTERPF)
-            return a2, stop2
+        def interp_cond(carry):
+            a, stop, k = carry
+            return (~jnp.all(stop)) & (k < _CAUCHY_ITERS)
 
-        a_interp, _ = lax.fori_loop(
-            0, _CAUCHY_ITERS, interp_body, (a0, ~need_interp)
-        )
+        def interp_body(carry):
+            a, stop, k = carry
+            a2 = jnp.where(stop, a, a * _INTERPF)
+            stop2 = stop | cauchy_ok(a2)
+            return a2, stop2, k + 1
 
-        def extrap_body(_, carry):
-            a_good, stop = carry
+        a_interp, _, _ = lax.while_loop(
+            interp_cond, interp_body,
+            (a0, ~need_interp, jnp.zeros((), jnp.int32)))
+
+        def extrap_cond(carry):
+            a, stop, k = carry
+            return (~jnp.all(stop)) & (k < _EXTRAP_ITERS)
+
+        def extrap_body(carry):
+            a_good, stop, k = carry
             a_try = a_good * _EXTRAPF
             good = cauchy_ok(a_try) & (a_try < 1e12)
             a2 = jnp.where(good & ~stop, a_try, a_good)
-            return a2, stop | ~good
+            return a2, stop | ~good, k + 1
 
-        a_extrap, _ = lax.fori_loop(
-            0, _EXTRAP_ITERS, extrap_body, (a0, need_interp)
-        )
+        a_extrap, _, _ = lax.while_loop(
+            extrap_cond, extrap_body,
+            (a0, need_interp, jnp.zeros((), jnp.int32)))
         alpha = jnp.where(need_interp, a_interp, a_extrap)
         sc = s_of(alpha)
         xc = x + sc
 
         # --- Newton direction on free variables ---
-        free = (xc > xl) & (xc < xu)
-        gc = g + Hs(sc)  # model gradient at the Cauchy point
+        free = (xc > xl) & (xc < xu)        # (n, B)
+        gc = g + hmatvec(H, sc)
         gf = jnp.where(free, gc, 0.0)
-        ff = free[:, :, None] & free[:, None, :]
-        eye = jnp.eye(n, dtype=dtype)
-        Hm = jnp.where(ff, H, 0.0) + jnp.where(
-            free[:, :, None] | free[:, None, :], 0.0, eye
-        )
-        d, solved = solve_spd_shifted(Hm, -gf)
-        d = jnp.where(free & solved[:, None], d, 0.0)
+        # mask H rows/cols: Hm[i][j] = H[i][j] * free_i * free_j + (i==j)*~free_i
+        freef = free.astype(dtype)
+        Hm = [
+            [
+                H[i][j] * freef[i] * freef[j]
+                + (1.0 - freef[i] if i == j else 0.0)
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
+        d, solved = _newton_dir_rows(Hm, -gf)
+        d = jnp.where(free & solved[None, :], d, 0.0)
 
-        # clip so the combined step stays inside the trust region (dtrqsol):
-        # largest tau in (0,1] with ||sc + tau*d|| <= delta
-        dd = jnp.sum(d * d, axis=-1)
-        sd = jnp.sum(sc * d, axis=-1)
-        ss = jnp.sum(sc * sc, axis=-1)
+        # clip the combined step to the trust region (dtrqsol)
+        dd = jnp.sum(d * d, axis=0)
+        sd = jnp.sum(sc * d, axis=0)
+        ss = jnp.sum(sc * sc, axis=0)
         rad = jnp.maximum(sd * sd + dd * (delta * delta - ss), 0.0)
         safe_dd = jnp.where(dd > 0, dd, 1.0)
-        tau = jnp.where(
-            dd > 0, jnp.minimum((jnp.sqrt(rad) - sd) / safe_dd, 1.0), 0.0
-        )
-        tau = jnp.maximum(tau, 0.0)
-        d = d * tau[:, None]
+        tau = jnp.where(dd > 0,
+                        jnp.minimum((jnp.sqrt(rad) - sd) / safe_dd, 1.0), 0.0)
+        d = d * jnp.maximum(tau, 0.0)[None, :]
 
-        # --- projected backtracking search from xc along d (dprsrch) ---
+        # --- projected backtracking from xc along d (dprsrch) ---
         q_c = qval(sc)
 
-        def prs_body(_, carry):
-            aw, best_s, found = carry
-            s_try = proj(xc + aw[:, None] * d) - x
+        def prs_cond(carry):
+            aw, best_s, found, k = carry
+            return (~jnp.all(found)) & (k < _PRSRCH_ITERS)
+
+        def prs_body(carry):
+            aw, best_s, found, k = carry
+            s_try = proj(xc + aw[None, :] * d) - x
             decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
-                jnp.sum(gc * (s_try - sc), axis=-1), 0.0
-            )
+                jnp.sum(gc * (s_try - sc), axis=0), 0.0)
             take = decr & ~found
-            best_s = jnp.where(take[:, None], s_try, best_s)
-            return aw * 0.5, best_s, found | decr
+            best_s = jnp.where(take[None, :], s_try, best_s)
+            return aw * 0.5, best_s, found | decr, k + 1
 
         aw0 = jnp.ones((B,), dtype)
-        _, s_best, found = lax.fori_loop(
-            0, _PRSRCH_ITERS, prs_body, (aw0, sc, jnp.zeros((B,), bool))
-        )
-        s = jnp.where(found[:, None], s_best, sc)
+        _, s_best, found, _ = lax.while_loop(
+            prs_cond, prs_body,
+            (aw0, sc, jnp.zeros((B,), bool), jnp.zeros((), jnp.int32)))
+        s = jnp.where(found[None, :], s_best, sc)
 
         # --- ratio test & radius update (dtron) ---
         xt = x + s
-        ft = f_batched(xt, params, lam, mu)
-        q_s = qval(s)
-        predred = -q_s
+        ft = f_batched(xt, lam, mu)
+        predred = -qval(s)
         actred = f - ft
-        gts = jnp.sum(g * s, axis=-1)
+        gts = jnp.sum(g * s, axis=0)
         snorm = _norm2(s)
 
         denom = ft - f - gts
         alpha_q = jnp.where(
-            denom <= 0.0,
-            _SIGMA3,
-            jnp.maximum(_SIGMA1, -0.5 * gts / jnp.where(denom == 0, 1.0, denom)),
-        )
+            denom <= 0.0, _SIGMA3,
+            jnp.maximum(_SIGMA1, -0.5 * gts / jnp.where(denom == 0, 1.0, denom)))
         safe_pred = jnp.where(predred != 0.0, predred, 1.0)
         ratio = jnp.where(predred > 0.0, actred / safe_pred, 0.0)
 
@@ -243,27 +333,28 @@ def tron_alm_batched(
             jnp.minimum(jnp.maximum(alpha_q, _SIGMA1) * snorm, _SIGMA2 * delta),
             jnp.where(
                 ratio < _ETA1,
-                jnp.maximum(_SIGMA1 * delta, jnp.minimum(alpha_q * snorm, _SIGMA2 * delta)),
+                jnp.maximum(_SIGMA1 * delta,
+                            jnp.minimum(alpha_q * snorm, _SIGMA2 * delta)),
                 jnp.where(
                     ratio < _ETA2,
-                    jnp.maximum(_SIGMA1 * delta, jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
-                    jnp.maximum(delta, jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
+                    jnp.maximum(_SIGMA1 * delta,
+                                jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
+                    jnp.maximum(delta,
+                                jnp.minimum(alpha_q * snorm, _SIGMA3 * delta)),
                 ),
             ),
         )
         delta_new = jnp.maximum(delta_new, 1e-30)
 
         accept = ratio > _ETA0
-        x_new = jnp.where(accept[:, None], xt, x)
+        x_new = jnp.where(accept[None, :], xt, x)
         f_new = jnp.where(accept, ft, f)
         frtol_conv = (predred <= frtol * jnp.abs(f)) | (
-            accept & (actred <= frtol * jnp.abs(f))
-        )
+            accept & (actred <= frtol * jnp.abs(f)))
         return x_new, f_new, delta_new, alpha, frtol_conv
 
     def body(st: _State) -> _State:
-        g = grad_batched(st.x, params, st.lam, st.mu)
-        H = hess_batched(st.x, params, st.lam, st.mu)
+        g, H = grad_hess(st.x, st.lam, st.mu)
 
         gnorm = _norm2(g)
         delta = jnp.where(st.need_init, jnp.maximum(gnorm, 1e-12), st.delta)
@@ -272,12 +363,12 @@ def tron_alm_batched(
         gpn = _gp_norm_inf(st.x, g, xl, xu)
         tron_conv = gpn <= gtol
         stepping = st.active & ~st.tron_done & ~tron_conv & (st.tron_it < max_minor)
-        newly_done = st.active & ~st.tron_done & (tron_conv | (st.tron_it >= max_minor))
+        newly_done = st.active & ~st.tron_done & (
+            tron_conv | (st.tron_it >= max_minor))
 
         x2, f2, delta2, ac2, frtol_conv = tr_step(
-            st.x, st.f, g, H, delta, alpha_c, st.lam, st.mu
-        )
-        x = jnp.where(stepping[:, None], x2, st.x)
+            st.x, st.f, g, H, delta, alpha_c, st.lam, st.mu)
+        x = jnp.where(stepping[None, :], x2, st.x)
         f = jnp.where(stepping, f2, st.f)
         delta = jnp.where(stepping, delta2, delta)
         alpha_c = jnp.where(stepping, ac2, alpha_c)
@@ -296,8 +387,8 @@ def tron_alm_batched(
         line_solved = good & (cnorm <= ctol)
 
         upd_lam = do_alm & good & ~line_solved
-        if c.shape[-1] > 0:
-            lam = jnp.where(upd_lam[:, None], st.lam + st.mu[:, None] * c, st.lam)
+        if ncon > 0:
+            lam = jnp.where(upd_lam[None, :], st.lam + st.mu[None, :] * c, st.lam)
         else:
             lam = st.lam
         eta = jnp.where(upd_lam, st.eta / st.mu**0.9, st.eta)
@@ -314,8 +405,7 @@ def tron_alm_batched(
         tron_done = tron_done & ~restart
         tron_it = jnp.where(restart, 0, tron_it)
         need_init = need_init | restart
-        # multipliers changed: refresh the objective value at x
-        f_fresh = f_batched(x, params, lam, mu)
+        f_fresh = f_batched(x, lam, mu)
         f = jnp.where(restart, f_fresh, f)
         cviol = jnp.where(do_alm, cnorm, st.cviol)
 
@@ -326,10 +416,13 @@ def tron_alm_batched(
             minor_total=minor_total, cviol=cviol, steps=st.steps + 1,
         )
 
-    def cond(st: _State):
-        return jnp.any(st.active) & (st.steps < max_minor * max_auglag)
+    if step_cap is None:
+        step_cap = max_minor * max_auglag
 
-    f0 = f_batched(x0, params, lam0, mu0)
+    def cond(st: _State):
+        return jnp.any(st.active) & (st.steps < step_cap)
+
+    f0 = f_batched(x0, lam0, mu0)
     if active0 is None:
         active0 = jnp.ones((B,), bool)
     st0 = _State(
@@ -357,10 +450,10 @@ def tron_alm_batched(
 
 
 def tron_batched(
-    obj_fn: Callable,   # (x (n,), params_slice) -> scalar
+    obj_fn: Callable,   # (x (n,B), params) -> (B,)
     x0, xl, xu, params, **kwargs
 ):
-    """Plain bound-constrained batched TRON (no constraints/ALM)."""
+    """Plain bound-constrained batched TRON (no constraints/ALM), rows layout."""
 
     def obj_alm(x, p, lam, mu):
         del lam, mu
@@ -368,11 +461,10 @@ def tron_batched(
 
     def cons(x, p):
         del p
-        return jnp.zeros((0,), x.dtype)
+        return jnp.zeros((0, x.shape[1]), x.dtype)
 
-    B = x0.shape[0]
-    lam0 = jnp.zeros((B, 0), x0.dtype)
+    B = x0.shape[1]
+    lam0 = jnp.zeros((0, B), x0.dtype)
     mu0 = jnp.full((B,), 10.0, x0.dtype)
     kwargs.setdefault("max_auglag", 1)
-    res = tron_alm_batched(obj_alm, cons, x0, xl, xu, params, lam0, mu0, **kwargs)
-    return res
+    return tron_alm_batched(obj_alm, cons, x0, xl, xu, params, lam0, mu0, **kwargs)

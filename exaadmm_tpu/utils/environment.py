@@ -56,6 +56,13 @@ class Parameters:
     tron_gtol: float = 1e-6
     tron_frtol: float = 1e-12
     tron_max_minor: int = 200
+    # lockstep budget: total trust-region steps per batched branch solve.
+    # The reference lets each CUDA block run to its own caps (200 minor x 50
+    # ALM rounds); in the batched lockstep design one pathological lane would
+    # stall the whole batch, so the global loop is budgeted. Lanes cut short
+    # are simply warm-started again next ADMM iteration (inexact ADMM).
+    # None = reference behaviour (max_minor * max_auglag).
+    tron_step_cap: int | None = None
 
     # branch ALM termination (auglag kernel :128-137)
     alm_ctol: float = 1e-6
