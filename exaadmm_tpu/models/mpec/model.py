@@ -1,0 +1,407 @@
+"""MPEC / complementarity model: ACOPF + storage + primary control.
+
+Reference: ``/root/reference/src/models/mpec/`` (``ComplementarityModel``;
+note the whole model is DISABLED upstream — its includes and the struct are
+commented out, src/ExaAdmm.jl:127-159 and environment.jl:409-475 — this
+build keeps it functional).
+
+Extends ACOPF with, per generator, a voltage magnitude copy ``vg`` (squared)
+for voltage setpoint control and a frequency-deviation copy ``fg`` for
+droop-based frequency control, plus one charge/discharge variable per
+storage unit:
+
+- (qg, vg) complementarity: enumerate the three KKT cases {q interior &
+  v = v_setpoint, q = qmin & v >= vsp, q = qmax & v <= vsp}, evaluate each
+  closed form and keep the proximal-objective minimizer
+  (mpec_admm_update_x_cpu.jl:30-68) — trivially vmappable;
+- (pg, fg) droop complementarity: cases {p = psp + alpha f interior,
+  p = pmin, p = pmax} (:75-119);
+- storage: charge-only vs discharge-only cases with energy-window bounds
+  (:135-205);
+- bus kernel: ``vg`` joins the shared-w consensus on the generator's bus and
+  the storage power enters the real-power balance (mpec_bus_kernel_cpu.jl);
+  the frequency copies are averaged into one system frequency in xbar
+  (mpec_admm_update_xbar_cpu.jl:14-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import ops as jops
+
+from ...utils.environment import BranchALMState, Blocks, Parameters, Solution
+from ...utils.grid_data import GridData
+from ...utils.pytree import pytree_dataclass
+from ..acopf.branch import branch_update
+
+
+@pytree_dataclass
+class MpecBlocks:
+    """One ADMM vector for the MPEC layout:
+    [(pg,qg)_g | vg_g | fg_g | ps_s | (8 flow/voltage)_l]."""
+
+    gen: jnp.ndarray   # (ngen, 2)
+    vg: jnp.ndarray    # (ngen,)  squared voltage magnitude copy
+    fg: jnp.ndarray    # (ngen,)  frequency deviation copy
+    sto: jnp.ndarray   # (nstorage,) net storage power (charge - discharge)
+    line: jnp.ndarray  # (nline, 8)
+
+    @staticmethod
+    def zeros(ngen, nsto, nline, dtype):
+        return MpecBlocks(
+            gen=jnp.zeros((ngen, 2), dtype), vg=jnp.zeros((ngen,), dtype),
+            fg=jnp.zeros((ngen,), dtype), sto=jnp.zeros((nsto,), dtype),
+            line=jnp.zeros((nline, 8), dtype))
+
+
+@pytree_dataclass
+class SolutionMpec:
+    u: MpecBlocks
+    v: MpecBlocks
+    l: MpecBlocks
+    rho: MpecBlocks
+    z: MpecBlocks
+    z_prev: MpecBlocks
+    lz: MpecBlocks
+    rp: MpecBlocks
+    rd: MpecBlocks
+    branch_alm: BranchALMState
+
+
+@dataclasses.dataclass
+class StorageData:
+    """Per-storage device arrays (reference Storage records + get_storage_data)."""
+    bus: jnp.ndarray          # int32 bus index
+    chg_min: jnp.ndarray
+    chg_max: jnp.ndarray
+    energy_min: jnp.ndarray
+    energy_max: jnp.ndarray
+    energy_setpoint: jnp.ndarray
+    eta_chg: jnp.ndarray
+    eta_dis: jnp.ndarray
+
+    @property
+    def nstorage(self):
+        return len(self.bus)
+
+
+@dataclasses.dataclass
+class ModelMpec:
+    grid: GridData
+    par: Parameters
+    storage: StorageData
+    # primary control data
+    alpha: jnp.ndarray        # -(1/droop) * pgmax  (opfdata.jl:901)
+    pg_setpoint: jnp.ndarray  # (pgmin+pgmax)/2
+    vgmin: jnp.ndarray        # bus Vmin at the gen's bus
+    vgmax: jnp.ndarray
+    vm_setpoint: jnp.ndarray  # (vgmin+vgmax)/2 (opfdata.jl:860-861)
+    use_linelimit: bool = True
+    pgmin_curr: jnp.ndarray | None = None
+    pgmax_curr: jnp.ndarray | None = None
+
+    def __post_init__(self):
+        if self.pgmin_curr is None:
+            self.pgmin_curr = self.grid.pgmin
+        if self.pgmax_curr is None:
+            self.pgmax_curr = self.grid.pgmax
+
+    @property
+    def nvar(self) -> int:
+        return (4 * self.grid.ngen + self.storage.nstorage
+                + 8 * self.grid.nline)
+
+    @property
+    def c2_eff(self):
+        return self.grid.c2 * self.par.obj_scale
+
+    @property
+    def c1_eff(self):
+        return self.grid.c1 * self.par.obj_scale
+
+    # ---- hooks ----------------------------------------------------------
+    def default_Pd(self):
+        return self.grid.Pd
+
+    def default_Qd(self):
+        return self.grid.Qd
+
+    def inner_prestep(self, sol: SolutionMpec):
+        return sol.replace(z_prev=sol.z)
+
+    def update_x(self, sol: SolutionMpec, inner_iter, axis_name=None,
+                 pg_bounds=None):
+        assert axis_name is None
+        gd = self.grid
+        u, v, z, l, rho = sol.u, sol.v, sol.z, sol.l, sol.rho
+        pgmin, pgmax = pg_bounds if pg_bounds is not None else (
+            self.pgmin_curr, self.pgmax_curr)
+
+        def prox(val, lv, rv, vv, zv):
+            d = val - vv + zv
+            return lv * d + 0.5 * rv * d * d
+
+        # --- (qg, vg) voltage-setpoint complementarity (three cases) ---
+        lq, rq = l.gen[:, 1], rho.gen[:, 1]
+        lv_, rv_ = l.vg, rho.vg
+        vq, zq = v.gen[:, 1], z.gen[:, 1]
+        vv, zv = v.vg, z.vg
+        vsp2 = self.vm_setpoint**2
+        vg_free = (-(lv_ + rv_ * (-vv + zv))) / rv_
+        qg_free = jnp.clip((-(lq + rq * (-vq + zq))) / rq, gd.qgmin, gd.qgmax)
+
+        qg_c = jnp.stack([qg_free, gd.qgmin, gd.qgmax])
+        vg_c = jnp.stack([
+            vsp2,
+            jnp.maximum(jnp.maximum(self.vgmin**2, vsp2),
+                        jnp.minimum(self.vgmax**2, vg_free)),
+            jnp.maximum(self.vgmin**2,
+                        jnp.minimum(jnp.minimum(self.vgmax**2, vsp2), vg_free)),
+        ])
+        obj_c = (prox(qg_c, lq, rq, vq, zq) + prox(vg_c, lv_, rv_, vv, zv))
+        best = jnp.argmin(obj_c, axis=0)
+        qg = jnp.take_along_axis(qg_c, best[None], 0)[0]
+        vg = jnp.take_along_axis(vg_c, best[None], 0)[0]
+
+        # --- (pg, fg) droop complementarity (three cases) ---
+        lp, rp_ = l.gen[:, 0], rho.gen[:, 0]
+        lf, rf = l.fg, rho.fg
+        vp, zp = v.gen[:, 0], z.gen[:, 0]
+        vf, zf = v.fg, z.fg
+        B = gd.baseMVA
+        a = 2 * self.c2_eff * (B * self.alpha)**2 + rp_ * self.alpha**2 + rf
+        bq = (2 * self.c2_eff * self.pg_setpoint * B**2 * self.alpha
+              + self.c1_eff * B * self.alpha
+              + lp * self.alpha + rp_ * (self.pg_setpoint - vp + zp) * self.alpha
+              + lf + rf * (-vf + zf))
+        # note alpha < 0: (pgmax-psp)/alpha <= (pgmin-psp)/alpha
+        f1 = jnp.clip(-bq / a, (pgmax - self.pg_setpoint) / self.alpha,
+                      (pgmin - self.pg_setpoint) / self.alpha)
+        fg_free = -(lf + rf * (-vf + zf)) / rf
+        pg_c = jnp.stack([self.pg_setpoint + self.alpha * f1, pgmin, pgmax])
+        fg_c = jnp.stack([
+            f1,
+            jnp.maximum((pgmin - self.pg_setpoint) / self.alpha, fg_free),
+            jnp.minimum((pgmax - self.pg_setpoint) / self.alpha, fg_free),
+        ])
+        cost = lambda p: (self.c2_eff * (p * B)**2 + self.c1_eff * (p * B))  # noqa: E731
+        obj_p = (cost(pg_c) + prox(pg_c, lp, rp_, vp, zp)
+                 + prox(fg_c, lf, rf, vf, zf))
+        bestp = jnp.argmin(obj_p, axis=0)
+        pg = jnp.take_along_axis(pg_c, bestp[None], 0)[0]
+        fg = jnp.take_along_axis(fg_c, bestp[None], 0)[0]
+
+        # --- storage: charge-only vs discharge-only (two cases) ---
+        st = self.storage
+        if st.nstorage > 0:
+            ls_, rs = l.sto, rho.sto
+            vs, zs = v.sto, z.sto
+            lb1 = jnp.maximum(st.chg_min,
+                              (st.energy_min - st.energy_setpoint) / st.eta_chg)
+            ub1 = jnp.minimum(st.chg_max,
+                              (st.energy_max - st.energy_setpoint) / st.eta_chg)
+            ps1 = jnp.clip((-(ls_ + rs * (-vs + zs))) / rs, lb1, ub1)
+            o1 = prox(ps1, ls_, rs, vs, zs)
+            lb2 = jnp.maximum(st.chg_min,
+                              (st.energy_max - st.energy_setpoint) / (-st.eta_dis))
+            ub2 = jnp.minimum(st.chg_max,
+                              (st.energy_min - st.energy_setpoint) / (-st.eta_dis))
+            ps2 = jnp.clip((ls_ + rs * (-vs + zs)) / rs, lb2, ub2)
+            o2 = prox(-ps2, ls_, rs, vs, zs)
+            ps = jnp.where(o1 <= o2, ps1, -ps2)
+        else:
+            ps = u.sto
+
+        # --- lines: unchanged ACOPF branch solver ---
+        zero2 = jnp.zeros((1, 2), u.line.dtype)
+        flat = Solution(
+            u=Blocks(gen=zero2, line=u.line), v=Blocks(gen=zero2, line=v.line),
+            l=Blocks(gen=zero2, line=l.line), rho=Blocks(gen=zero2, line=rho.line),
+            z=Blocks(gen=zero2, line=z.line),
+            z_prev=Blocks(gen=zero2, line=sol.z_prev.line),
+            lz=Blocks(gen=zero2, line=sol.lz.line),
+            rp=Blocks(gen=zero2, line=sol.rp.line),
+            rd=Blocks(gen=zero2, line=sol.rd.line),
+            branch_alm=sol.branch_alm,
+        )
+        u_line, alm, stats = branch_update(
+            flat, gd, self.par, inner_iter, use_linelimit=self.use_linelimit)
+
+        u_new = MpecBlocks(gen=jnp.stack([pg, qg], -1), vg=vg, fg=fg, sto=ps,
+                           line=u_line)
+        return sol.replace(u=u_new, branch_alm=alm), stats
+
+    def update_xbar(self, sol: SolutionMpec, Pd=None, Qd=None, axis_name=None):
+        assert axis_name is None
+        gd = self.grid
+        st = self.storage
+        nbus = gd.nbus
+        u, z, l, rho = sol.u, sol.z, sol.l, sol.rho
+        fr, to, gb = gd.line_from, gd.line_to, gd.gen_bus
+        m = gd.line_mask
+        if Pd is None:
+            Pd = gd.Pd
+        if Qd is None:
+            Qd = gd.Qd
+
+        def seg(vals, ids):
+            return jops.segment_sum(vals, ids, num_segments=nbus)
+
+        uzL = u.line + z.line
+        lL, rL = l.line, rho.line
+        common_wi = (seg((lL[:, 4] + rL[:, 4] * uzL[:, 4]) * m, fr)
+                     + seg((lL[:, 5] + rL[:, 5] * uzL[:, 5]) * m, to))
+        common_ti = (seg((lL[:, 6] + rL[:, 6] * uzL[:, 6]) * m, fr)
+                     + seg((lL[:, 7] + rL[:, 7] * uzL[:, 7]) * m, to))
+        rhosum_wi = seg(rL[:, 4] * m, fr) + seg(rL[:, 5] * m, to)
+        rhosum_ti = seg(rL[:, 6] * m, fr) + seg(rL[:, 7] * m, to)
+        # vg joins the shared-w consensus on the generator's bus
+        common_wi = common_wi + seg(l.vg + rho.vg * (u.vg + z.vg), gb)
+        rhosum_wi = rhosum_wi + seg(rho.vg, gb)
+        inv_rho_p = seg(m / rL[:, 0], fr) + seg(m / rL[:, 2], to)
+        inv_rho_q = seg(m / rL[:, 1], fr) + seg(m / rL[:, 3], to)
+
+        safe_wi = jnp.where(rhosum_wi > 0, rhosum_wi, 1.0)
+        safe_ti = jnp.where(rhosum_ti > 0, rhosum_ti, 1.0)
+        common_wi = common_wi / safe_wi
+
+        uzG = u.gen + z.gen
+        lG, rG = l.gen, rho.gen
+        rhs1 = seg(uzG[:, 0] + lG[:, 0] / rG[:, 0], gb)
+        rhs2 = seg(uzG[:, 1] + lG[:, 1] / rG[:, 1], gb)
+        inv_rho_pg = seg(1.0 / rG[:, 0], gb)
+        inv_rho_qg = seg(1.0 / rG[:, 1], gb)
+        inv_rho_sg = jnp.zeros_like(rhs1)
+        if st.nstorage > 0:
+            rhs1 = rhs1 - seg(u.sto + z.sto + l.sto / rho.sto, st.bus)
+            inv_rho_sg = seg(1.0 / rho.sto, st.bus)
+
+        rhs1 = rhs1 - Pd / gd.baseMVA
+        rhs2 = rhs2 - Qd / gd.baseMVA
+        rhs1 = rhs1 - (seg((uzL[:, 0] + lL[:, 0] / rL[:, 0]) * m, fr)
+                       + seg((uzL[:, 2] + lL[:, 2] / rL[:, 2]) * m, to))
+        rhs2 = rhs2 - (seg((uzL[:, 1] + lL[:, 1] / rL[:, 1]) * m, fr)
+                       + seg((uzL[:, 3] + lL[:, 3] / rL[:, 3]) * m, to))
+        rhs1 = rhs1 - gd.YshR * common_wi
+        rhs2 = rhs2 + gd.YshI * common_wi
+
+        A11 = inv_rho_pg + inv_rho_sg + inv_rho_p + gd.YshR**2 / safe_wi
+        A12 = -gd.YshR * (gd.YshI / safe_wi)
+        A22 = inv_rho_qg + inv_rho_q + gd.YshI**2 / safe_wi
+        sA11 = jnp.where(A11 != 0, A11, 1.0)
+        mu2 = (rhs2 - (A12 / sA11) * rhs1) / (A22 - (A12 / sA11) * A12)
+        mu1 = (rhs1 - A12 * mu2) / sA11
+        wi = common_wi + (gd.YshR * mu1 - gd.YshI * mu2) / safe_wi
+        ti = common_ti / safe_ti
+
+        v_gen = jnp.stack([
+            uzG[:, 0] + (lG[:, 0] - mu1[gb]) / rG[:, 0],
+            uzG[:, 1] + (lG[:, 1] - mu2[gb]) / rG[:, 1],
+        ], -1)
+        v_vg = wi[gb]
+        v_sto = (u.sto + z.sto + (l.sto + mu1[st.bus]) / rho.sto
+                 if st.nstorage > 0 else u.sto)
+        v_line = jnp.stack([
+            uzL[:, 0] + (lL[:, 0] + mu1[fr]) / rL[:, 0],
+            uzL[:, 1] + (lL[:, 1] + mu2[fr]) / rL[:, 1],
+            uzL[:, 2] + (lL[:, 2] + mu1[to]) / rL[:, 2],
+            uzL[:, 3] + (lL[:, 3] + mu2[to]) / rL[:, 3],
+            wi[fr], wi[to], ti[fr], ti[to],
+        ], -1)
+
+        # single system frequency: rho-weighted average of all copies
+        # (mpec_admm_update_xbar_cpu.jl:14-27)
+        freq = (jnp.sum(l.fg + rho.fg * (u.fg + z.fg)) / jnp.sum(rho.fg))
+        v_fg = jnp.full_like(u.fg, freq)
+
+        return sol.replace(v=MpecBlocks(gen=v_gen, vg=v_vg, fg=v_fg,
+                                        sto=v_sto, line=v_line))
+
+    def update_z(self, sol: SolutionMpec, beta):
+        z = jax.tree.map(
+            lambda uu, vv, ll, rr, zz: (-(zz + ll + rr * (uu - vv))) / (beta + rr),
+            sol.u, sol.v, sol.l, sol.rho, sol.lz)
+        return sol.replace(z=z)
+
+    def update_l(self, sol: SolutionMpec, beta):
+        l = jax.tree.map(lambda zz, ll: -(ll + beta * zz), sol.z, sol.lz)
+        return sol.replace(l=l)
+
+    def update_lz(self, sol: SolutionMpec, beta):
+        lz = jax.tree.map(
+            lambda zz, ll: jnp.clip(ll + beta * zz, -self.par.MAX_MULTIPLIER,
+                                    self.par.MAX_MULTIPLIER),
+            sol.z, sol.lz)
+        return sol.replace(lz=lz)
+
+    def update_residual(self, sol: SolutionMpec, beta, axis_name=None):
+        assert axis_name is None
+        gd = self.grid
+        m = gd.line_mask
+        rp = jax.tree.map(lambda uu, vv, zz: uu - vv + zz, sol.u, sol.v, sol.z)
+        rd = jax.tree.map(lambda zc, zpp: zc - zpp, sol.z, sol.z_prev)
+        ax_by = jax.tree.map(lambda a, b: a - b, rp, sol.z)
+
+        def sumsq(blk: MpecBlocks):
+            return (jnp.sum(blk.gen**2) + jnp.sum(blk.vg**2)
+                    + jnp.sum(blk.fg**2) + jnp.sum(blk.sto**2)
+                    + jnp.sum(blk.line**2 * m[:, None]))
+
+        primres = jnp.sqrt(sumsq(rp))
+        dualres = jnp.sqrt(sumsq(rd))
+        norm_z = jnp.sqrt(sumsq(sol.z))
+        mismatch = jnp.sqrt(sumsq(ax_by))
+
+        pg = gd.baseMVA * sol.u.gen[:, 0]
+        objval = jnp.sum(gd.c2 * pg**2 + gd.c1 * pg + gd.c0)
+        scalars = {
+            "primres": primres, "dualres": dualres, "norm_z_curr": norm_z,
+            "mismatch": mismatch, "objval": objval, "auglag": objval,
+        }
+        return sol.replace(rp=rp, rd=rd), scalars
+
+
+def init_solution(model: ModelMpec, rho_pq: float, rho_va: float) -> SolutionMpec:
+    """Flat start (mpec_init_solution_cpu.jl): ACOPF init + vg at squared
+    bound midpoints with rho_va*10, fg at 0 with rho_pq*10."""
+    gd = model.grid
+    st = model.storage
+    dt = gd.pgmin.dtype
+    nl = gd.nline_padded
+
+    def zb():
+        return MpecBlocks.zeros(gd.ngen, st.nstorage, nl, dt)
+
+    rho = MpecBlocks(
+        gen=jnp.full((gd.ngen, 2), rho_pq, dt),
+        vg=jnp.full((gd.ngen,), rho_va * 10.0, dt),
+        fg=jnp.full((gd.ngen,), rho_pq * 10.0, dt),
+        sto=jnp.full((st.nstorage,), rho_pq, dt),
+        line=jnp.concatenate([jnp.full((nl, 4), rho_pq, dt),
+                              jnp.full((nl, 4), rho_va, dt)], axis=1),
+    )
+    wij0 = 0.5 * (gd.Vmax[gd.line_from]**2 + gd.Vmin[gd.line_from]**2)
+    wji0 = 0.5 * (gd.Vmax[gd.line_to]**2 + gd.Vmin[gd.line_to]**2)
+    wR0 = jnp.sqrt(wij0 * wji0)
+    zero = jnp.zeros_like(wij0)
+    v = MpecBlocks(
+        gen=jnp.stack([0.5 * (gd.pgmin + gd.pgmax),
+                       0.5 * (gd.qgmin + gd.qgmax)], -1),
+        vg=(0.5 * (model.vgmin + model.vgmax))**2,
+        fg=jnp.zeros((gd.ngen,), dt),
+        sto=jnp.zeros((st.nstorage,), dt),
+        line=jnp.stack([
+            gd.YffR * wij0 + gd.YftR * wR0,
+            -gd.YffI * wij0 - gd.YftI * wR0,
+            gd.YttR * wji0 + gd.YtfR * wR0,
+            -gd.YttI * wji0 - gd.YtfI * wR0,
+            wij0, wji0, zero, zero,
+        ], -1) * gd.line_mask[:, None],
+    )
+    z = zb()
+    return SolutionMpec(u=zb(), v=v, l=zb(), rho=rho, z=z, z_prev=zb(),
+                        lz=zb(), rp=zb(), rd=zb(),
+                        branch_alm=BranchALMState.zeros(nl, dt))
