@@ -16,7 +16,6 @@ outer_eps; otherwise lz <- clamp(lz + beta z) and beta <- min(inc_c*beta,
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

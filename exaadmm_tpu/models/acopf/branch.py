@@ -148,17 +148,26 @@ def branch_update(
     # fp32 where it makes tail lanes grind for hundreds of minor iterations)
     mu_max = min(par.mu_max, 0.1 / eps)
 
+    use_pallas = (par.branch_backend == "pallas"
+                  and u_line.dtype == jnp.float32)
+    if use_pallas:
+        from ...ops.tron_pallas import tron_alm_batched_pallas as _solver
+        extra = {"tile": par.pallas_tile}
+    else:
+        _solver = tron_alm_batched
+        extra = {}
+
     if use_linelimit:
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
         mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
         lam0 = jnp.stack([alm.lam1, alm.lam2], axis=0)
-        res = tron_alm_batched(
+        res = _solver(
             branch_obj_linelimit, branch_cons_linelimit,
             x0, xl, xu, params, lam0, mu0,
             gtol=gtol, frtol=frtol, ctol=ctol,
             mu_max=mu_max, max_minor=par.tron_max_minor,
             max_auglag=par.max_auglag, step_cap=par.tron_step_cap,
-            active0=active0,
+            active0=active0, **extra,
         )
         new_alm = BranchALMState(lam1=res.lam[0], lam2=res.lam[1], mu=res.mu)
         x = res.x

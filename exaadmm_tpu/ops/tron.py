@@ -69,18 +69,21 @@ class TronALMResult(NamedTuple):
 
 
 class _State(NamedTuple):
+    # NOTE: the boolean lane masks (tron_done/need_init/active) are carried
+    # as 0/1 floats, not bools — Mosaic cannot legalize i1 vector yields in
+    # loop carries when this state machine runs inside a Pallas kernel.
     x: jnp.ndarray
     f: jnp.ndarray
     delta: jnp.ndarray
     alpha_c: jnp.ndarray
     tron_it: jnp.ndarray
-    tron_done: jnp.ndarray
-    need_init: jnp.ndarray
+    tron_done: jnp.ndarray   # float 0/1
+    need_init: jnp.ndarray   # float 0/1
     lam: jnp.ndarray
     mu: jnp.ndarray
     eta: jnp.ndarray
     alm_it: jnp.ndarray
-    active: jnp.ndarray
+    active: jnp.ndarray      # float 0/1
     minor_total: jnp.ndarray
     cviol: jnp.ndarray
     steps: jnp.ndarray
@@ -231,35 +234,38 @@ def tron_alm_batched(
         # --- Cauchy point (dcauchy): warm-started alpha ---
         a0 = jnp.maximum(alpha_c, 1e-30)
         need_interp = ~cauchy_ok(a0)
+        fone = jnp.ones((B,), dtype)
 
         def interp_cond(carry):
             a, stop, k = carry
-            return (~jnp.all(stop)) & (k < _CAUCHY_ITERS)
+            return jnp.any(stop < 0.5) & (k < _CAUCHY_ITERS)
 
         def interp_body(carry):
             a, stop, k = carry
-            a2 = jnp.where(stop, a, a * _INTERPF)
-            stop2 = stop | cauchy_ok(a2)
-            return a2, stop2, k + 1
+            stopb = stop > 0.5
+            a2 = jnp.where(stopb, a, a * _INTERPF)
+            stop2 = stopb | cauchy_ok(a2)
+            return a2, stop2.astype(dtype), k + 1
 
         a_interp, _, _ = lax.while_loop(
             interp_cond, interp_body,
-            (a0, ~need_interp, jnp.zeros((), jnp.int32)))
+            (a0, fone - need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
 
         def extrap_cond(carry):
             a, stop, k = carry
-            return (~jnp.all(stop)) & (k < _EXTRAP_ITERS)
+            return jnp.any(stop < 0.5) & (k < _EXTRAP_ITERS)
 
         def extrap_body(carry):
             a_good, stop, k = carry
+            stopb = stop > 0.5
             a_try = a_good * _EXTRAPF
             good = cauchy_ok(a_try) & (a_try < 1e12)
-            a2 = jnp.where(good & ~stop, a_try, a_good)
-            return a2, stop | ~good, k + 1
+            a2 = jnp.where(good & ~stopb, a_try, a_good)
+            return a2, (stopb | ~good).astype(dtype), k + 1
 
         a_extrap, _, _ = lax.while_loop(
             extrap_cond, extrap_body,
-            (a0, need_interp, jnp.zeros((), jnp.int32)))
+            (a0, need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
         alpha = jnp.where(need_interp, a_interp, a_extrap)
         sc = s_of(alpha)
         xc = x + sc
@@ -296,22 +302,23 @@ def tron_alm_batched(
 
         def prs_cond(carry):
             aw, best_s, found, k = carry
-            return (~jnp.all(found)) & (k < _PRSRCH_ITERS)
+            return jnp.any(found < 0.5) & (k < _PRSRCH_ITERS)
 
         def prs_body(carry):
             aw, best_s, found, k = carry
+            foundb = found > 0.5
             s_try = proj(xc + aw[None, :] * d) - x
             decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
                 jnp.sum(gc * (s_try - sc), axis=0), 0.0)
-            take = decr & ~found
+            take = decr & ~foundb
             best_s = jnp.where(take[None, :], s_try, best_s)
-            return aw * 0.5, best_s, found | decr, k + 1
+            return aw * 0.5, best_s, (foundb | decr).astype(dtype), k + 1
 
         aw0 = jnp.ones((B,), dtype)
         _, s_best, found, _ = lax.while_loop(
             prs_cond, prs_body,
-            (aw0, sc, jnp.zeros((B,), bool), jnp.zeros((), jnp.int32)))
-        s = jnp.where(found[None, :], s_best, sc)
+            (aw0, sc, jnp.zeros((B,), dtype), jnp.zeros((), jnp.int32)))
+        s = jnp.where(found[None, :] > 0.5, s_best, sc)
 
         # --- ratio test & radius update (dtron) ---
         xt = x + s
@@ -356,14 +363,18 @@ def tron_alm_batched(
     def body(st: _State) -> _State:
         g, H = grad_hess(st.x, st.lam, st.mu)
 
+        st_active = st.active > 0.5
+        st_done = st.tron_done > 0.5
+        st_init = st.need_init > 0.5
+
         gnorm = _norm2(g)
-        delta = jnp.where(st.need_init, jnp.maximum(gnorm, 1e-12), st.delta)
-        alpha_c = jnp.where(st.need_init, jnp.ones_like(st.alpha_c), st.alpha_c)
+        delta = jnp.where(st_init, jnp.maximum(gnorm, 1e-12), st.delta)
+        alpha_c = jnp.where(st_init, jnp.ones_like(st.alpha_c), st.alpha_c)
 
         gpn = _gp_norm_inf(st.x, g, xl, xu)
         tron_conv = gpn <= gtol
-        stepping = st.active & ~st.tron_done & ~tron_conv & (st.tron_it < max_minor)
-        newly_done = st.active & ~st.tron_done & (
+        stepping = st_active & ~st_done & ~tron_conv & (st.tron_it < max_minor)
+        newly_done = st_active & ~st_done & (
             tron_conv | (st.tron_it >= max_minor))
 
         x2, f2, delta2, ac2, frtol_conv = tr_step(
@@ -374,12 +385,12 @@ def tron_alm_batched(
         alpha_c = jnp.where(stepping, ac2, alpha_c)
         tron_it = st.tron_it + stepping.astype(jnp.int32)
         minor_total = st.minor_total + stepping.astype(jnp.int32)
-        need_init = st.need_init & ~stepping
+        need_init = st_init & ~stepping
 
-        tron_done = st.tron_done | newly_done | (stepping & frtol_conv)
+        tron_done = st_done | newly_done | (stepping & frtol_conv)
 
         # --- ALM round for lanes whose TRON solve just finished ---
-        do_alm = st.active & tron_done
+        do_alm = st_active & tron_done
         cnorm, c = cviol_inf(x)
         good = cnorm <= st.eta
         # reference nests the ctol test under the eta test
@@ -399,7 +410,7 @@ def tron_alm_batched(
 
         alm_it = st.alm_it + do_alm.astype(jnp.int32)
         finished = do_alm & (line_solved | (alm_it >= max_auglag))
-        active = st.active & ~finished
+        active = st_active & ~finished
 
         restart = do_alm & ~finished
         tron_done = tron_done & ~restart
@@ -411,8 +422,11 @@ def tron_alm_batched(
 
         return _State(
             x=x, f=f, delta=delta, alpha_c=alpha_c,
-            tron_it=tron_it, tron_done=tron_done, need_init=need_init,
-            lam=lam, mu=mu, eta=eta, alm_it=alm_it, active=active,
+            tron_it=tron_it,
+            tron_done=tron_done.astype(dtype),
+            need_init=need_init.astype(dtype),
+            lam=lam, mu=mu, eta=eta, alm_it=alm_it,
+            active=active.astype(dtype),
             minor_total=minor_total, cviol=cviol, steps=st.steps + 1,
         )
 
@@ -431,13 +445,13 @@ def tron_alm_batched(
         delta=jnp.zeros((B,), dtype),
         alpha_c=jnp.ones((B,), dtype),
         tron_it=jnp.zeros((B,), jnp.int32),
-        tron_done=jnp.zeros((B,), bool),
-        need_init=jnp.ones((B,), bool),
+        tron_done=jnp.zeros((B,), dtype),
+        need_init=jnp.ones((B,), dtype),
         lam=lam0,
         mu=mu0,
         eta=1.0 / mu0**0.1,
         alm_it=jnp.zeros((B,), jnp.int32),
-        active=active0,
+        active=active0.astype(dtype),
         minor_total=jnp.zeros((B,), jnp.int32),
         cviol=jnp.full((B,), jnp.inf, dtype),
         steps=jnp.zeros((), jnp.int32),

@@ -67,6 +67,13 @@ class Parameters:
     # branch ALM termination (auglag kernel :128-137)
     alm_ctol: float = 1e-6
 
+    # branch solver execution backend: "xla" (pure-JAX while loop over the
+    # full batch) or "pallas" (fused VMEM-resident kernel, fp32 only, tiled
+    # so each tile runs its own trip count). "auto" = pallas when on TPU
+    # with fp32, else xla.
+    branch_backend: str = "xla"
+    pallas_tile: int = 1024
+
 
 @pytree_dataclass
 class Blocks:

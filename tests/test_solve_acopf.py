@@ -53,3 +53,17 @@ def test_case9_rolling_horizon(case9_path):
     # ramp-tightened bounds active
     import numpy as np
     assert np.all(np.asarray(res.model.pgmin_curr) >= np.asarray(res.model.grid.pgmin))
+
+
+def test_case9_no_linelimit(case9_path):
+    """use_linelimit=False: 4-var polar branch problems, no ALM rounds
+    (reference dispatches ExaTron's polar_kernel_two_level_alternative,
+    acopf_admm_update_x_cpu.jl:32-35)."""
+    res = solve_acopf(
+        case9_path, rho_pq=4e2, rho_va=4e4, outer_eps=2e-4,
+        outer_iterlim=25, verbose=0, use_linelimit=False,
+    )
+    assert res.info.status == "Solved"
+    # case9's line limits are inactive at the optimum, so the relaxed
+    # problem converges to the same dispatch
+    assert 5280.0 <= res.info.objval <= 5304.5
