@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..algorithms.admm_two_level import admm_two_level
 from ..models.acopf import model as M
-from ..utils.environment import IterationInformation, Parameters, Solution
+from ..utils.environment import AdmmEnv, IterationInformation, Parameters, Solution
 from ..utils.opfdata import OPFData, opf_loaddata
 
 
@@ -24,6 +24,7 @@ class SolveResult:
     model: "M.ModelAcopf"
     solution: Solution
     info: IterationInformation
+    env: AdmmEnv | None = None
 
 
 def _default_dtype():
@@ -50,6 +51,8 @@ def solve_acopf(
     backend: str | None = None,
     mesh=None,
     tron_step_cap: int | None = None,
+    branch_backend: str = "xla",
+    pallas_tile: int = 1024,
 ) -> SolveResult:
     """Solve a single-period ACOPF with two-level ADMM.
 
@@ -69,6 +72,8 @@ def solve_acopf(
         outer_eps=outer_eps,
         verbose=verbose,
         tron_step_cap=tron_step_cap,
+        branch_backend=branch_backend,
+        pallas_tile=pallas_tile,
     )
 
     device_ctx = (
@@ -96,7 +101,11 @@ def solve_acopf(
             info.pf_residual = proj_info.get("pf_residual")
 
     del init_sol
-    return SolveResult(data=data, model=model, solution=sol, info=info)
+    env = AdmmEnv(case=case, data=data, initial_rho_pq=rho_pq,
+                  initial_rho_va=rho_va, params=par,
+                  tight_factor=tight_factor, use_linelimit=use_linelimit,
+                  use_projection=use_projection)
+    return SolveResult(data=data, model=model, solution=sol, info=info, env=env)
 
 
 class _nullcontext:

@@ -75,6 +75,30 @@ class Parameters:
     pallas_tile: int = 1024
 
 
+@dataclasses.dataclass
+class AdmmEnv:
+    """Top-level solve context (reference AdmmEnv, environment.jl:85-158).
+
+    In the TPU build most of AdmmEnv's role is absorbed by function arguments
+    and the model dataclasses; this record exists for API parity and for
+    callers who want to carry the full context around: case name, parsed
+    data, rho seeds, feature flags, and the Parameters block.
+    """
+
+    case: str
+    data: object                  # OPFData
+    initial_rho_pq: float
+    initial_rho_va: float
+    params: "Parameters"
+    tight_factor: float = 1.0
+    use_linelimit: bool = True
+    use_projection: bool = False
+    load_specified: bool = False
+    horizon_length: int = 1
+    storage_ratio: float = 0.0
+    droop: float = 0.04
+
+
 @pytree_dataclass
 class Blocks:
     """One ADMM-space vector, split by component class."""
