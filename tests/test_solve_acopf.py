@@ -67,3 +67,19 @@ def test_case9_no_linelimit(case9_path):
     # case9's line limits are inactive at the optimum, so the relaxed
     # problem converges to the same dispatch
     assert 5280.0 <= res.info.objval <= 5304.5
+
+
+def test_violation_diagnostics(case9_path):
+    from exaadmm_tpu.models.acopf.diagnostics import compute_violations
+
+    res = solve_acopf(case9_path, rho_pq=4e2, rho_va=4e4, outer_eps=2e-5,
+                      outer_iterlim=25, verbose=0)
+    viols = compute_violations(res.model.grid, res.solution.u, res.solution.v)
+    assert viols["err_pg"] <= 1e-8       # closed-form projection is exact
+    assert viols["err_qg"] <= 1e-8
+    assert viols["err_vm"] <= 1e-8
+    assert viols["err_rateA"] <= 1e-6
+    assert viols["err_consensus"] <= 1e-3   # at the outer tolerance
+    assert viols["err_real"] <= 5e-3
+    assert viols["err_reactive"] <= 5e-3
+    assert viols["num_rateA_viols"] == 0
