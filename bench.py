@@ -41,7 +41,7 @@ def main():
     data = synthetic_case(NBUS, seed=0)
     par = Parameters(verbose=0,
                      tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 48)),
-                     branch_backend=os.environ.get("BENCH_BACKEND", "xla"),
+                     branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)))
     model = M.build_model(data, par, dtype=dtype)
     sol = M.init_solution(model, 50.0, 5000.0)

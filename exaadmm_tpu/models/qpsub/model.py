@@ -242,8 +242,13 @@ class ModelQpsub:
         mu0 = jnp.where(inner_iter <= 1, jnp.full((nl,), 10.0, dt), sol.alm_mu)
         lam0 = jnp.stack([sol.alm_lam_j, sol.alm_lam_k])
         active0 = gd.line_mask > 0.5
-        res = tron_alm_batched(
-            qp_obj, qp_cons, x0, xl, xu, params, lam0, mu0,
+        if self.par.branch_backend == "pallas" and dt == jnp.float32:
+            from ...ops.tron_pallas import tron_alm_batched_pallas as _solver
+            extra = {"tile": self.par.pallas_tile}
+        else:
+            _solver, extra = tron_alm_batched, {}
+        res = _solver(
+            qp_obj, qp_cons, x0, xl, xu, params, lam0, mu0, **extra,
             gtol=max(self.par.tron_gtol, 40 * eps),
             frtol=max(self.par.tron_frtol, 10 * eps),
             ctol=max(self.par.alm_ctol, 300 * eps),
