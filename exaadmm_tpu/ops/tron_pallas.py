@@ -52,6 +52,7 @@ def tron_alm_batched_pallas(
     tile: int = 1024,
     active0: jnp.ndarray | None = None,
     interpret: bool = False,
+    fgh_fn=None,
     **opts,
 ) -> TronALMResult:
     n, B = x0.shape
@@ -107,6 +108,7 @@ def tron_alm_batched_pallas(
             x0r[...], xlr[...], xur[...], params_tile,
             lamr[...], mur[...],
             active0=actr[...] > 0.5,
+            fgh_fn=fgh_fn,
             **opts,
         )
         xo[...] = res.x

@@ -39,3 +39,40 @@ def test_pallas_matches_xla_interpret(case9_path):
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(r1.minor_iters),
                                   np.asarray(r2.minor_iters))
+
+
+def test_closed_form_fgh_matches_autodiff():
+    """branch_fgh_linelimit (hand-derived f/grad/Hessian) vs autodiff on
+    random data, fp64."""
+    import numpy as np
+    from exaadmm_tpu.models.acopf.branch import (
+        branch_fgh_linelimit, branch_obj_linelimit)
+
+    rng = np.random.default_rng(7)
+    B = 64
+    p = {k: jnp.asarray(rng.normal(0, 2, B)) for k in
+         ("YffR", "YffI", "YftR", "YftI", "YttR", "YttI", "YtfR", "YtfI")}
+    p["l"] = jnp.asarray(rng.normal(0, 50, (8, B)))
+    p["rho"] = jnp.asarray(rng.uniform(1, 4e4, (8, B)))
+    p["t"] = jnp.asarray(rng.normal(0, 1, (8, B)))
+    p["scale"] = jnp.asarray(rng.uniform(1e-5, 1e-3, B))
+    x = jnp.asarray(np.concatenate([rng.uniform(0.9, 1.1, (2, B)),
+                                    rng.uniform(-0.5, 0.5, (2, B)),
+                                    rng.uniform(-5, 0, (2, B))]))
+    lam = jnp.asarray(rng.normal(0, 10, (2, B)))
+    mu = jnp.asarray(rng.uniform(1, 1e6, B))
+
+    f, g, H = branch_fgh_linelimit(x, p, lam, mu)
+    f_ad = branch_obj_linelimit(x, p, lam, mu)
+    grad_fn = jax.grad(lambda X: jnp.sum(branch_obj_linelimit(X, p, lam, mu)))
+    g_ad = grad_fn(x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ad), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                               rtol=1e-8, atol=1e-8)
+    for j in range(6):
+        tang = jnp.zeros_like(x).at[j].set(1.0)
+        _, hj = jax.jvp(grad_fn, (x,), (tang,))
+        for i in range(6):
+            np.testing.assert_allclose(
+                np.asarray(H[i][j]), np.asarray(hj[i]),
+                rtol=1e-7, atol=1e-7 * float(jnp.max(jnp.abs(hj[i])) + 1))
