@@ -139,17 +139,26 @@ def _chol_solve_rows(H, rhs, tau):
 
 def _newton_dir_rows(H, rhs):
     """Smallest-shift Newton direction (rows layout). Mirrors TRON's shifted
-    incomplete Cholesky (dicfs); dense+exact here since n<=6."""
-    diag = jnp.stack([jnp.abs(H[i][i]) for i in range(len(H))], axis=0)
-    dmax = jnp.maximum(jnp.max(diag, axis=0), 1.0)
-    d = jnp.zeros_like(rhs)
-    solved = jnp.zeros(rhs.shape[-1], dtype=bool)
-    for level in (0.0, 1e-10, 1e-6, 1e-3, 1.0, 1e3):
-        cand, ok = _chol_solve_rows(H, rhs, dmax * level)
-        take = ok & ~solved
-        d = jnp.where(take[None, :], cand, d)
-        solved = solved | ok
-    return d, solved
+    incomplete Cholesky (dicfs); dense+exact here since n<=6.
+
+    The free-variable Hessian is PD at shift 0 for the vast majority of lanes
+    (the proximal rho terms dominate), so the escalating-shift ladder only
+    runs when some lane in the batch actually needs it."""
+    d0, ok0 = _chol_solve_rows(H, rhs, jnp.zeros_like(rhs[0]))
+
+    def ladder(_):
+        diag = jnp.stack([jnp.abs(H[i][i]) for i in range(len(H))], axis=0)
+        dmax = jnp.maximum(jnp.max(diag, axis=0), 1.0)
+        d = d0
+        solved = ok0
+        for level in (1e-10, 1e-6, 1e-3, 1.0, 1e3):
+            cand, ok = _chol_solve_rows(H, rhs, dmax * level)
+            take = ok & ~solved
+            d = jnp.where(take[None, :], cand, d)
+            solved = solved | ok
+        return d, solved
+
+    return lax.cond(jnp.all(ok0), lambda _: (d0, ok0), ladder, operand=None)
 
 
 def tron_alm_batched(
