@@ -142,23 +142,39 @@ def _newton_dir_rows(H, rhs):
     incomplete Cholesky (dicfs); dense+exact here since n<=6.
 
     The free-variable Hessian is PD at shift 0 for the vast majority of lanes
-    (the proximal rho terms dominate), so the escalating-shift ladder only
-    runs when some lane in the batch actually needs it."""
-    d0, ok0 = _chol_solve_rows(H, rhs, jnp.zeros_like(rhs[0]))
+    (the proximal rho terms dominate), so the escalating-shift ladder runs as
+    a while-loop that exits as soon as every lane is factorized — one
+    factorization per TR step in the common case instead of six. (A
+    while-loop rather than lax.cond: Mosaic cannot legalize scf.if with
+    vector results inside Pallas kernels; masks carried as 0/1 floats for the
+    same reason.)"""
+    dtype = rhs.dtype
+    diag = jnp.stack([jnp.abs(H[i][i]) for i in range(len(H))], axis=0)
+    dmax = jnp.maximum(jnp.max(diag, axis=0), 1.0)
+    # scalar selects rather than an indexed constant array: a traced-constant
+    # array would be captured by the enclosing Pallas kernel (disallowed)
+    LEVELS = (0.0, 1e-10, 1e-6, 1e-3, 1.0, 1e3)
 
-    def ladder(_):
-        diag = jnp.stack([jnp.abs(H[i][i]) for i in range(len(H))], axis=0)
-        dmax = jnp.maximum(jnp.max(diag, axis=0), 1.0)
-        d = d0
-        solved = ok0
-        for level in (1e-10, 1e-6, 1e-3, 1.0, 1e3):
-            cand, ok = _chol_solve_rows(H, rhs, dmax * level)
-            take = ok & ~solved
-            d = jnp.where(take[None, :], cand, d)
-            solved = solved | ok
-        return d, solved
+    def cond(carry):
+        d, solved, idx = carry
+        return (idx < len(LEVELS)) & jnp.any(solved < 0.5)
 
-    return lax.cond(jnp.all(ok0), lambda _: (d0, ok0), ladder, operand=None)
+    def body(carry):
+        d, solved, idx = carry
+        solvedb = solved > 0.5
+        lvl = jnp.zeros((), dtype)
+        for k, v in enumerate(LEVELS):
+            lvl = jnp.where(idx == k, v, lvl)
+        cand, ok = _chol_solve_rows(H, rhs, dmax * lvl)
+        take = ok & ~solvedb
+        d = jnp.where(take[None, :], cand, d)
+        return d, (solvedb | ok).astype(dtype), idx + 1
+
+    d0 = jnp.zeros_like(rhs)
+    d, solved, _ = lax.while_loop(
+        cond, body, (d0, jnp.zeros(rhs.shape[-1], dtype),
+                     jnp.zeros((), jnp.int32)))
+    return d, solved > 0.5
 
 
 def tron_alm_batched(
