@@ -120,6 +120,25 @@ class ModelMpacopf:
         base = 2 * self.grid.ngen + 8 * self.grid.nline
         return base + (self.grid.ngen if self.T > 1 else 0)
 
+    # ---- sharding hooks (lines sharded on dim 1 of the (T, nline, 8) blocks)
+    def solution_spec(self, axis):
+        from jax.sharding import PartitionSpec as P
+        lineP = P(None, axis)
+        b = Blocks(gen=P(), line=P(None, axis, None))
+        ac = Solution(
+            u=b, v=b, l=b, rho=b, z=b, z_prev=b, lz=b, rp=b, rd=b,
+            branch_alm=BranchALMState(lam1=lineP, lam2=lineP, mu=lineP),
+        )
+        rampP = P()
+        ramp = RampState(u=rampP, l=rampP, rho=rampP, z=rampP, z_prev=rampP,
+                         lz=rampP, s=rampP, alm_mu=rampP, alm_xi=rampP)
+        return SolutionMpacopf(acopf=ac, ramp=ramp)
+
+    def local_model(self, gd_local, pgmin, pgmax):
+        return dataclasses.replace(
+            self, grid=gd_local, grid_T=None,
+            pgmin_curr=pgmin, pgmax_curr=pgmax)
+
     @property
     def c2_eff(self):
         return self.grid.c2 * self.par.obj_scale
@@ -142,7 +161,6 @@ class ModelMpacopf:
     # -- x update ---------------------------------------------------------
     def update_x(self, sol: SolutionMpacopf, inner_iter, axis_name=None,
                  pg_bounds=None):
-        assert axis_name is None, "sharded mpacopf not wired yet"
         gd = self.grid
         T, ngen = self.T, gd.ngen
         ac, rp = sol.acopf, sol.ramp
@@ -184,7 +202,7 @@ class ModelMpacopf:
             "c2": tile(self.c2_eff), "c1": tile(self.c1_eff),
             "lam_p": lam_p, "rho_p": rho_p, "t_p": t_p,
             "lam_h": lam_h, "rho_h": rho_h, "t_h": t_h,
-            "baseMVA": jnp.full((B,), float(gd.baseMVA), dtype),
+            "baseMVA": jnp.broadcast_to(jnp.asarray(gd.baseMVA, dtype), (B,)),
         }
 
         def gen_obj(x, p, lam, mu):
@@ -234,7 +252,9 @@ class ModelMpacopf:
         )
 
         # lines: one flat (T*nline) TRON/ALM batch over the tiled grid
-        nlp = gd.nline_padded
+        # (local line count under shard_map differs from the static global
+        # gd.nline_padded -> take it from the array)
+        nlp = ac.u.line.shape[1]
         flat_sol = Solution(
             u=Blocks(gen=ac.u.gen[0], line=ac.u.line.reshape(T * nlp, 8)),
             v=Blocks(gen=ac.v.gen[0], line=ac.v.line.reshape(T * nlp, 8)),
@@ -254,7 +274,7 @@ class ModelMpacopf:
         )
         u_line_flat, alm_flat, stats = branch_update(
             flat_sol, self.grid_T, self.par, inner_iter,
-            use_linelimit=self.use_linelimit,
+            use_linelimit=self.use_linelimit, axis_name=axis_name,
         )
         ac_new = ac.replace(
             u=Blocks(gen=u_gen, line=u_line_flat.reshape(T, nlp, 8)),
@@ -268,7 +288,6 @@ class ModelMpacopf:
 
     # -- xbar -------------------------------------------------------------
     def update_xbar(self, sol: SolutionMpacopf, Pd=None, Qd=None, axis_name=None):
-        assert axis_name is None
         gd = self.grid
         ac, rp = sol.acopf, sol.ramp
         if Pd is None:
@@ -289,7 +308,8 @@ class ModelMpacopf:
         }
 
         def one_period(u, z, l, rho, pd, qd, ramp):
-            return kernels.bus_update(u, z, l, rho, gd, Pd=pd, Qd=qd, ramp=ramp)
+            return kernels.bus_update(u, z, l, rho, gd, Pd=pd, Qd=qd, ramp=ramp,
+                                      axis_name=axis_name)
 
         v = jax.vmap(one_period)(ac.u, ac.z, ac.l, ac.rho, Pd, Qd, ramp_args)
         return sol.replace(acopf=ac.replace(v=v))
@@ -330,7 +350,6 @@ class ModelMpacopf:
 
     # -- residual ---------------------------------------------------------
     def update_residual(self, sol: SolutionMpacopf, beta, axis_name=None):
-        assert axis_name is None
         gd = self.grid
         ac, rp = sol.acopf, sol.ramp
         m = gd.line_mask
@@ -340,8 +359,10 @@ class ModelMpacopf:
         ax_by = jax.tree.map(lambda a, b: a - b, rp_b, ac.z)
 
         def per_period_sq(b: Blocks):
-            return (jnp.sum(b.gen**2, axis=(1, 2))
-                    + jnp.sum(b.line**2 * m[None, :, None], axis=(1, 2)))
+            line_sq = jnp.sum(b.line**2 * m[None, :, None], axis=(1, 2))
+            if axis_name is not None:
+                line_sq = jax.lax.psum(line_sq, axis_name)
+            return jnp.sum(b.gen**2, axis=(1, 2)) + line_sq
 
         mask = self._ramp_mask(rp.z.dtype)
         vprev = self._v_pg_prev(ac)

@@ -72,10 +72,15 @@ def solution_specs(axis: str = AXIS) -> Solution:
 def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = AXIS):
     """Sharded counterpart of admm_two_level.make_inner_loop.
 
-    Returns run_inner(sol, beta, outer) with the full inner ADMM loop inside
-    one jitted shard_map: per-device branch solves, psum-coupled bus/residual
-    updates, identical loop-break decisions on every device (the break scalar
-    is a psum result).
+    Returns run_inner(sol, beta, outer, Pd, Qd, pgmin, pgmax) with the full
+    inner ADMM loop inside one jitted shard_map: per-device branch solves,
+    psum-coupled bus/residual updates, identical loop-break decisions on
+    every device (the break scalar is a psum result).
+
+    Works for any model implementing the hook protocol plus two sharding
+    hooks: ``solution_spec(axis)`` (PartitionSpec tree for its solution
+    pytree) and ``local_model(gd_local, pgmin, pgmax)`` (rebuild itself
+    around a device-local GridData). ModelAcopf gets defaults here.
     """
     from ..algorithms.admm_two_level import InnerCarry, _one_inner_iteration
 
@@ -86,7 +91,10 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
         f"{mesh.devices.size}; build the model with pad_lines_to=n_devices"
     )
 
-    sol_sp = solution_specs(axis)
+    if hasattr(model, "solution_spec"):
+        sol_sp = model.solution_spec(axis)
+    else:
+        sol_sp = solution_specs(axis)
     carry_sp = InnerCarry(
         sol=sol_sp, inner=P(), primres=P(), dualres=P(), norm_z=P(),
         mismatch=P(), objval=P(), auglag=P(),
@@ -94,9 +102,12 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
     )
 
     def inner(gd_local, sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
-        model_local = dataclasses.replace(
-            model, grid=gd_local, pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr
-        )
+        if hasattr(model, "local_model"):
+            model_local = model.local_model(gd_local, pgmin_curr, pgmax_curr)
+        else:
+            model_local = dataclasses.replace(
+                model, grid=gd_local,
+                pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr)
         eps_pri = sqrt_d / (2500.0 * outer)
 
         def cond(c):

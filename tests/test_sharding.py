@@ -44,3 +44,44 @@ def test_case9_sharded_full_solve(case9_path, cpu_mesh):
                       outer_eps=2e-5, outer_iterlim=25, verbose=0)
     assert res.info.status == "Solved"
     assert 5296.0 <= res.info.objval <= 5304.5
+
+
+def test_mpacopf_sharded_matches_single(case9_path, cpu_mesh):
+    """Sharded mpacopf inner loop reproduces the single-device solve."""
+    import os
+    import jax.numpy as jnp
+    from exaadmm_tpu.models.mpacopf import model as mp_M
+    from exaadmm_tpu.utils.environment import Parameters, IterationInformation
+    from exaadmm_tpu.utils.opfdata import load_time_series, opf_loaddata
+    from exaadmm_tpu.algorithms.admm_two_level import admm_two_level
+    from exaadmm_tpu.parallel.sharding import make_sharded_inner_loop
+    from exaadmm_tpu.utils.grid_data import build_grid_data
+    import dataclasses
+
+    data = opf_loaddata(case9_path, verbose=0)
+    prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
+    pd_mat, qd_mat = load_time_series(prefix)
+
+    def build(pad):
+        par = Parameters(verbose=0, outer_iterlim=4, outer_eps=2e-4)
+        m = mp_M.build_model(data, par, pd_mat, qd_mat,
+                             start_period=1, end_period=3)
+        if pad > 1:
+            gd = build_grid_data(data, pad_lines_to=pad)
+            m = dataclasses.replace(m, grid=gd, grid_T=None)
+        return m
+
+    m1 = build(1)
+    s1 = mp_M.init_solution(m1, 4e2, 4e4)
+    s1, i1 = admm_two_level(m1, s1, IterationInformation())
+
+    ndev = len(cpu_mesh.devices.flat)
+    mN = build(ndev)
+    sN = mp_M.init_solution(mN, 4e2, 4e4)
+    run = make_sharded_inner_loop(mN, cpu_mesh, mN.par.inner_iterlim)
+    sN, iN = admm_two_level(mN, sN, IterationInformation(), run_inner=run)
+
+    assert iN.cumul == i1.cumul
+    assert iN.objval == pytest.approx(i1.objval, rel=1e-6)
+    np.testing.assert_allclose(np.asarray(sN.acopf.u.gen),
+                               np.asarray(s1.acopf.u.gen), atol=1e-7)
