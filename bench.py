@@ -44,7 +44,7 @@ def main():
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)))
     model = M.build_model(data, par, dtype=dtype)
-    sol = M.init_solution(model, 50.0, 5000.0)
+    sol = M.init_solution(model, 400.0, 40000.0)
     par.scale = 1e-4
 
     run_inner = make_inner_loop(model, INNER_ITERS)

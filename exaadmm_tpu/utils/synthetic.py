@@ -4,10 +4,12 @@ The reference benchmarks on pegase/ACTIVSg MATPOWER artifacts that are
 lazy-downloaded at test time (test/Artifacts.toml) and not redistributable
 here (zero-egress environment). For performance work we generate random but
 structurally realistic grids: a spanning tree plus random chords (matching
-pegase-like nline/nbus ratios), per-unit impedances in typical ranges, PQ
-loads on most buses, and quadratic generator costs.
+pegase-like nline/nbus ratios), per-unit impedances in typical ranges, and —
+critically — loads/dispatch windows/line ratings derived from a randomly
+drawn voltage profile pushed through the network equations, so every case
+has a known AC-feasible operating point (stored in Vm/Va/Pg0/Qg0).
 
-These are for throughput measurement (iterations/sec at scale), not for
+These are for throughput and convergence-behaviour work at scale, not for
 objective-value regression — use real MATPOWER files for that.
 """
 
@@ -55,25 +57,53 @@ def synthetic_case(
     Ytf = -Ys / tap_c
 
     baseMVA = 100.0
-    rateA = np.where(rng.random(nline) < rate_frac,
-                     rng.uniform(100.0, 1000.0, nline), 0.0)
-
     ngen = max(1, int(round(nbus * gen_frac)))
     gen_bus = np.concatenate([[0], rng.choice(np.arange(1, nbus), ngen - 1,
                                               replace=False)]).astype(np.int32)
-    pgmax = rng.uniform(0.5, 5.0, ngen)
-    pgmin = 0.1 * pgmax
-    qgmax = 0.8 * pgmax
+
+    # Construct the case around a KNOWN AC-feasible operating point: draw a
+    # voltage profile, push it through the network equations, and derive
+    # loads, dispatch windows and line ratings from the implied flows. A
+    # purely random case (loads drawn independently of the physics) gives an
+    # ADMM instance with no nearby feasible point and meaningless
+    # convergence behaviour.
+    vm = rng.uniform(0.99, 1.03, nbus)
+    va = rng.normal(0.0, 0.02, nbus)
+    va[0] = 0.0
+    V = vm * np.exp(1j * va)
+    Vf, Vt = V[line_from], V[line_to]
+    # per-line complex flows at the operating point
+    Sf = Vf * np.conj(Yff * Vf + Yft * Vt)
+    St = Vt * np.conj(Ytf * Vf + Ytt * Vt)
+    YshI_arr = np.where(rng.random(nbus) < 0.05, rng.uniform(0, 0.2, nbus), 0.0)
+    inj = np.zeros(nbus, complex)
+    np.add.at(inj, line_from, Sf)
+    np.add.at(inj, line_to, St)
+    inj += vm**2 * np.conj(1j * YshI_arr)  # shunt injections
+
+    is_gen = np.zeros(nbus, bool)
+    is_gen[gen_bus] = True
+    # load buses consume exactly the (possibly negative) implied injection;
+    # generator buses supply theirs — the chosen V is then exactly feasible
+    Pd = (-inj.real) * ~is_gen
+    Qd = (-inj.imag) * ~is_gen
+    pg_star = inj.real[gen_bus]
+    qg_star = inj.imag[gen_bus]
+
+    pgmax = np.abs(pg_star) + rng.uniform(0.5, 2.0, ngen)
+    pgmin = np.minimum(pg_star - 0.3, 0.0)
+    qgmax = np.abs(qg_star) + rng.uniform(0.5, 2.0, ngen)
     qgmin = -qgmax
     c2 = rng.uniform(0.01, 0.12, ngen)
     c1 = rng.uniform(1.0, 10.0, ngen)
     c0 = np.zeros(ngen)
 
-    has_load = rng.random(nbus) < load_frac
-    total_cap = pgmax.sum() * baseMVA
-    raw = rng.uniform(0.2, 1.0, nbus) * has_load
-    Pd = raw / max(raw.sum(), 1e-9) * 0.6 * total_cap
-    Qd = Pd * rng.uniform(0.2, 0.5, nbus)
+    # ratings with 30%+ margin over the operating flows; a fraction unlimited
+    smax = np.maximum(np.abs(Sf), np.abs(St))
+    rateA = np.where(rng.random(nline) < rate_frac,
+                     baseMVA * smax * rng.uniform(1.3, 3.0, nline), 0.0)
+    Pd = Pd * baseMVA
+    Qd = Qd * baseMVA
 
     bus_type = np.ones(nbus, dtype=np.int32)
     bus_type[gen_bus] = 2
@@ -89,15 +119,15 @@ def synthetic_case(
         Qd=Qd,
         Vmin=np.full(nbus, 0.9),
         Vmax=np.full(nbus, 1.1),
-        Vm=np.ones(nbus),
-        Va=np.zeros(nbus),
+        Vm=vm,
+        Va=va,
         YshR=np.zeros(nbus),
-        YshI=np.where(rng.random(nbus) < 0.05, rng.uniform(0, 0.3, nbus), 0.0),
+        YshI=YshI_arr,
         gen_bus=gen_bus,
         pgmin=pgmin, pgmax=pgmax, qgmin=qgmin, qgmax=qgmax,
         vgm_setpoint=np.ones(ngen),
-        Pg0=0.5 * (pgmin + pgmax),
-        Qg0=np.zeros(ngen),
+        Pg0=pg_star,
+        Qg0=qg_star,
         ramp_agc=0.02 * pgmax,
         c2=c2, c1=c1, c0=c0,
         line_from=line_from,

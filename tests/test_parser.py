@@ -66,3 +66,21 @@ def test_line_padding(case9_path):
     assert gd.nline_padded == 12
     assert gd.nline == 9
     np.testing.assert_allclose(np.asarray(gd.line_mask), [1] * 9 + [0] * 3)
+
+
+def test_synthetic_case_has_feasible_point():
+    """The synthetic generator must produce cases with a known AC-feasible
+    operating point (loads derived from a drawn voltage profile)."""
+    from exaadmm_tpu.models.pf.newton import solve_pf_core
+    from exaadmm_tpu.utils.synthetic import synthetic_case
+
+    data = synthetic_case(300, seed=3)
+    res = solve_pf_core(data, data.Vm.copy(), data.Va.copy(),
+                        data.Pg0.copy(), data.Qg0.copy(), tol=1e-9)
+    # already at the solution: zero NR iterations needed
+    assert res.iterations == 0
+    assert res.residual <= 1e-9
+    # the point respects the generated bounds
+    assert np.all(data.Pg0 <= data.pgmax + 1e-12)
+    assert np.all(data.Pg0 >= data.pgmin - 1e-12)
+    assert np.all(np.abs(data.Qg0) <= data.qgmax + 1e-12)
