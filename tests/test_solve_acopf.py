@@ -83,3 +83,18 @@ def test_violation_diagnostics(case9_path):
     assert viols["err_real"] <= 5e-3
     assert viols["err_reactive"] <= 5e-3
     assert viols["num_rateA_viols"] == 0
+
+
+def test_profile_iteration(case9_path):
+    from exaadmm_tpu.models.acopf import model as M
+    from exaadmm_tpu.utils.environment import Parameters
+    from exaadmm_tpu.utils.opfdata import opf_loaddata
+    from exaadmm_tpu.utils.profiling import profile_iteration
+
+    data = opf_loaddata(case9_path, verbose=0)
+    model = M.build_model(data, Parameters(verbose=0))
+    sol = M.init_solution(model, 4e2, 4e4)
+    times = profile_iteration(model, sol, 1e3, iters=2)
+    assert set(times) == {"x_update", "xbar_update", "z_update", "l_update",
+                          "residual"}
+    assert all(t > 0 for t in times.values())
