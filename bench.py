@@ -40,7 +40,7 @@ def main():
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     data = synthetic_case(NBUS, seed=0)
     par = Parameters(verbose=0,
-                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 48)),
+                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)))
     model = M.build_model(data, par, dtype=dtype)
