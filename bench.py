@@ -42,7 +42,8 @@ def main():
     par = Parameters(verbose=0,
                      tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
-                     pallas_tile=int(os.environ.get("BENCH_TILE", 1024)))
+                     pallas_tile=int(os.environ.get("BENCH_TILE", 1024)),
+                     sort_lines=os.environ.get("BENCH_SORT", "1") == "1")
     model = M.build_model(data, par, dtype=dtype)
     sol = M.init_solution(model, 400.0, 40000.0)
     par.scale = 1e-4
@@ -51,9 +52,12 @@ def main():
     beta = jnp.asarray(1e3, dtype)
     gd = model.grid
     args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
+    line_ids = jnp.arange(gd.nline_padded, dtype=jnp.int32)
+    lane_steps = jnp.zeros((gd.nline_padded,), jnp.int32)
 
     # warm-up: compiles and runs outer=1 (mu reset path) + steady state
-    carry = run_inner(sol, beta, jnp.asarray(1.0, dtype), *args)
+    carry = run_inner(sol, beta, jnp.asarray(1.0, dtype), *args,
+                      line_ids, lane_steps)
     jax.block_until_ready(carry)
     sol = carry.sol
 
@@ -61,7 +65,8 @@ def main():
     total_iters = 0
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        carry = run_inner(sol, beta, jnp.asarray(2.0 + rep, dtype), *args)
+        carry = run_inner(sol, beta, jnp.asarray(2.0 + rep, dtype), *args,
+                          carry.line_ids, carry.lane_steps)
         jax.block_until_ready(carry)
         dt_s = time.perf_counter() - t0
         iters = int(carry.inner)

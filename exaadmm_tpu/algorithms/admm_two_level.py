@@ -16,13 +16,16 @@ outer_eps; otherwise lz <- clamp(lz + beta z) and beta <- min(inc_c*beta,
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.environment import IterationInformation, Solution
+from ..utils.environment import (IterationInformation, Solution,
+                                 permute_solution_lines)
+from ..utils.grid_data import permute_lines
 from ..utils.pytree import pytree_dataclass
 
 
@@ -38,6 +41,12 @@ class InnerCarry:
     auglag: jnp.ndarray
     avg_auglag_it: jnp.ndarray
     avg_minor_it: jnp.ndarray
+    # line-sorting state (Parameters.sort_lines): per-lane lockstep steps of
+    # the LAST inner iteration (the difficulty signal) and the composed
+    # current-position -> original-line-id map. Models without per-lane
+    # stats carry 0-size placeholders through unchanged.
+    lane_steps: jnp.ndarray  # i32 (nline_padded,) or (0,)
+    line_ids: jnp.ndarray    # i32 (nline_padded,) or (0,)
 
 
 def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
@@ -64,22 +73,55 @@ def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
         auglag=scalars["auglag"],
         avg_auglag_it=stats["avg_auglag_it"],
         avg_minor_it=stats["avg_minor_it"],
+        lane_steps=stats.get("lane_steps", carry.lane_steps),
+        line_ids=carry.line_ids,
     )
 
 
 def make_inner_loop(model, inner_iterlim: int):
-    """Build the jitted on-device inner loop for a model instance."""
+    """Build the jitted on-device inner loop for a model instance.
+
+    The returned callable is
+    ``run_inner(sol, beta, outer, Pd, Qd, pgmin, pgmax,
+                line_ids=None, lane_steps=None)``.
+    When the model supports it and ``par.sort_lines`` is on, passing the
+    previous carry's ``line_ids``/``lane_steps`` difficulty-sorts the line
+    batch at the start of the dispatch (stragglers cluster into the last
+    Pallas tiles, easy tiles exit their lockstep loop early). The returned
+    ``carry.sol`` is in the sorted order; invert with
+    ``restore_line_order`` once at the end of the solve.
+    """
     sqrt_d = float(model.nvar) ** 0.5
+    grid0 = getattr(model, "grid", None)
+    sorting = (getattr(model, "supports_line_sort", False)
+               and model.par.sort_lines and grid0 is not None)
 
     @jax.jit
-    def run_inner(sol: Solution, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
+    def run_inner(sol: Solution, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
+                  line_ids=None, lane_steps=None):
+        nlp = grid0.nline_padded if grid0 is not None else 0
+        if line_ids is None:
+            line_ids = jnp.arange(nlp, dtype=jnp.int32)
+        if lane_steps is None:
+            lane_steps = jnp.zeros((nlp,), jnp.int32)
+
+        mod = model
+        if sorting:
+            # stable ascending sort: padded lanes (0 steps) lead, stragglers
+            # trail; identity when lane_steps is all-zero (first dispatch)
+            reorder = jnp.argsort(lane_steps)
+            line_ids = line_ids[reorder]
+            mod = dataclasses.replace(
+                model, grid=permute_lines(grid0, line_ids))
+            sol = permute_solution_lines(sol, reorder)
+
         eps_pri = sqrt_d / (2500.0 * outer)
 
         def cond(c: InnerCarry):
             return (c.inner < inner_iterlim) & (c.primres > eps_pri)
 
         def body(c: InnerCarry):
-            return _one_inner_iteration(model, c, beta, Pd=Pd, Qd=Qd,
+            return _one_inner_iteration(mod, c, beta, Pd=Pd, Qd=Qd,
                                         pg_bounds=(pgmin_curr, pgmax_curr))
 
         dt = sol.u.gen.dtype
@@ -94,10 +136,21 @@ def make_inner_loop(model, inner_iterlim: int):
             auglag=jnp.asarray(0.0, dt),
             avg_auglag_it=jnp.asarray(0.0, dt),
             avg_minor_it=jnp.asarray(0.0, dt),
+            lane_steps=lane_steps,
+            line_ids=line_ids,
         )
         return lax.while_loop(cond, body, c0)
 
+    run_inner.line_sort = sorting
+    run_inner.nline_padded = grid0.nline_padded if grid0 is not None else 0
     return run_inner
+
+
+def restore_line_order(sol: Solution, line_ids) -> Solution:
+    """Undo the driver's difficulty sort: scatter line rows back to their
+    original positions (line_ids[i] = original id now at position i)."""
+    inv = jnp.argsort(line_ids)
+    return permute_solution_lines(sol, inv)
 
 
 def admm_two_level(model, sol: Solution, info: IterationInformation | None = None,
@@ -138,14 +191,27 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
               f"{'PrimRes':>10} {'EpsPrim':>10} {'DualRes':>10} {'||z||':>10} "
               f"{'Mismatch':>10} {'OuterTol':>10} {'Beta':>10}")
 
+    # line-difficulty sorting state (only when the loop was built with it)
+    sort_active = bool(getattr(run_inner, "line_sort", False))
+    nlp = int(getattr(run_inner, "nline_padded", 0))
+    line_ids = jnp.arange(nlp, dtype=jnp.int32) if sort_active else None
+    lane_steps = jnp.zeros((nlp,), jnp.int32) if sort_active else None
+
     t0 = time.perf_counter()
     while info.outer < par.outer_iterlim:
         info.outer += 1
         info.norm_z_prev = info.norm_z_curr  # outer prestep: save ||z||
 
-        carry = run_inner(sol, jnp.asarray(beta, sol.u.gen.dtype),
-                          jnp.asarray(float(info.outer), sol.u.gen.dtype),
-                          Pd, Qd, pgmin_curr, pgmax_curr)
+        if sort_active:
+            carry = run_inner(sol, jnp.asarray(beta, sol.u.gen.dtype),
+                              jnp.asarray(float(info.outer), sol.u.gen.dtype),
+                              Pd, Qd, pgmin_curr, pgmax_curr,
+                              line_ids, lane_steps)
+            line_ids, lane_steps = carry.line_ids, carry.lane_steps
+        else:
+            carry = run_inner(sol, jnp.asarray(beta, sol.u.gen.dtype),
+                              jnp.asarray(float(info.outer), sol.u.gen.dtype),
+                              Pd, Qd, pgmin_curr, pgmax_curr)
         sol = carry.sol
         info.inner = int(carry.inner)
         info.cumul += info.inner
@@ -172,6 +238,10 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
 
         if info.norm_z_curr > par.theta * info.norm_z_prev:
             beta = min(par.inc_c * beta, 1e24)
+
+    if sort_active:
+        # hand the solution back in canonical line order
+        sol = jax.jit(restore_line_order)(sol, line_ids)
 
     info.time_overall = time.perf_counter() - t0
     par.beta = beta

@@ -70,6 +70,14 @@ def branch_cons_linelimit(x, p):
     return jnp.stack([pij**2 + qij**2 + x[4], pji**2 + qji**2 + x[5]])
 
 
+def branch_alm_delta(c, lam_old, mu_old, lam_new, mu_new, p):
+    """Exact objective change under an ALM multiplier/penalty update at
+    fixed x: the objective is affine in (lam, mu), all times `scale`."""
+    dl = jnp.sum((lam_new - lam_old) * c, axis=0)
+    dq = 0.5 * (mu_new - mu_old) * jnp.sum(c * c, axis=0)
+    return (dl + dq) * p["scale"]
+
+
 def branch_obj_polar(x, p):
     """4-var objective without line limits."""
     pij, qij, pji, qji = _flows(x, p)
@@ -306,7 +314,9 @@ def branch_update(
             gtol=gtol, frtol=frtol, ctol=ctol,
             mu_max=mu_max, max_minor=par.tron_max_minor,
             max_auglag=par.max_auglag, step_cap=par.tron_step_cap,
-            active0=active0, fgh_fn=branch_fgh_linelimit, **extra,
+            active0=active0, fgh_fn=branch_fgh_linelimit,
+            trial_unroll=par.tron_trial_unroll,
+            alm_delta_fn=branch_alm_delta, **extra,
         )
         new_alm = BranchALMState(lam1=res.lam[0], lam2=res.lam[1], mu=res.mu)
         x = res.x
@@ -316,7 +326,7 @@ def branch_update(
             branch_obj_polar, x0, xl, xu, params,
             gtol=gtol, frtol=frtol,
             max_minor=par.tron_max_minor, step_cap=par.tron_step_cap,
-            active0=active0,
+            active0=active0, trial_unroll=par.tron_trial_unroll,
         )
         new_alm = alm
         x = res.x
@@ -352,5 +362,9 @@ def branch_update(
         "avg_auglag_it": sums[0] / gd.nline,
         "avg_minor_it": sums[1] / gd.nline,
         "max_cviol": max_cv,
+        # per-lane lockstep steps consumed — the difficulty signal for the
+        # driver's line sorting (Parameters.sort_lines)
+        "lane_steps": ((res.minor_iters + res.alm_iters)
+                       * gd.line_mask.astype(jnp.int32)),
     }
     return u_new, new_alm, stats

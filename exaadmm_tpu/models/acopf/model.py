@@ -23,6 +23,10 @@ from .branch import branch_update
 
 @dataclasses.dataclass
 class ModelAcopf:
+    # the driver may difficulty-sort the line batch between outer iterations
+    # (all line state is permuted consistently; see Parameters.sort_lines)
+    supports_line_sort = True
+
     grid: GridData
     par: Parameters
     use_linelimit: bool = True

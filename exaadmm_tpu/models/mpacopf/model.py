@@ -276,6 +276,9 @@ class ModelMpacopf:
             flat_sol, self.grid_T, self.par, inner_iter,
             use_linelimit=self.use_linelimit, axis_name=axis_name,
         )
+        # (T*nline,)-shaped; this model doesn't do line sorting — drop it so
+        # the carry keeps its (possibly empty) placeholder shape
+        stats = {k: v for k, v in stats.items() if k != "lane_steps"}
         ac_new = ac.replace(
             u=Blocks(gen=u_gen, line=u_line_flat.reshape(T, nlp, 8)),
             branch_alm=BranchALMState(

@@ -108,6 +108,7 @@ def _chol_solve_rows(H, rhs, tau):
     """
     n = len(H)
     L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
     ok = jnp.ones(rhs.shape[-1], dtype=bool)
     for j in range(n):
         s = H[j][j] + tau
@@ -115,8 +116,8 @@ def _chol_solve_rows(H, rhs, tau):
             s = s - L[j][k] * L[j][k]
         ok = ok & (s > 0)
         piv = jnp.sqrt(jnp.where(s > 0, s, 1.0))
-        L[j][j] = piv
         inv_piv = 1.0 / piv
+        inv_diag[j] = inv_piv
         for i in range(j + 1, n):
             t = H[i][j]
             for k in range(j):
@@ -127,13 +128,13 @@ def _chol_solve_rows(H, rhs, tau):
         t = rhs[i]
         for k in range(i):
             t = t - L[i][k] * y[k]
-        y[i] = t / L[i][i]
+        y[i] = t * inv_diag[i]
     d = [None] * n
     for i in reversed(range(n)):
         t = y[i]
         for k in range(i + 1, n):
             t = t - L[k][i] * d[k]
-        d[i] = t / L[i][i]
+        d[i] = t * inv_diag[i]
     return jnp.stack(d, axis=0), ok
 
 
@@ -155,6 +156,12 @@ def _newton_dir_rows(H, rhs):
     # array would be captured by the enclosing Pallas kernel (disallowed)
     LEVELS = (0.0, 1e-10, 1e-6, 1e-3, 1.0, 1e3)
 
+    # peel the shift-0 factorization: the free-variable Hessian is PD at
+    # shift 0 for nearly every lane, so the escalation loop below almost
+    # never runs — its body stays out of the common path entirely
+    d0, ok0 = _chol_solve_rows(H, rhs, jnp.zeros_like(dmax))
+    d0 = jnp.where(ok0[None, :], d0, 0.0)
+
     def cond(carry):
         d, solved, idx = carry
         return (idx < len(LEVELS)) & jnp.any(solved < 0.5)
@@ -170,10 +177,8 @@ def _newton_dir_rows(H, rhs):
         d = jnp.where(take[None, :], cand, d)
         return d, (solvedb | ok).astype(dtype), idx + 1
 
-    d0 = jnp.zeros_like(rhs)
     d, solved, _ = lax.while_loop(
-        cond, body, (d0, jnp.zeros(rhs.shape[-1], dtype),
-                     jnp.zeros((), jnp.int32)))
+        cond, body, (d0, ok0.astype(dtype), jnp.ones((), jnp.int32)))
     return d, solved > 0.5
 
 
@@ -196,6 +201,8 @@ def tron_alm_batched(
     step_cap: int | None = None,
     active0: jnp.ndarray | None = None,
     fgh_fn: Callable | None = None,
+    trial_unroll: tuple[int, int, int] | None = None,
+    alm_delta_fn: Callable | None = None,
 ) -> TronALMResult:
     """Solve B independent bound-constrained ALM problems in lockstep.
 
@@ -206,6 +213,22 @@ def tron_alm_batched(
     Pass ``fgh_fn(x, params, lam, mu) -> (f, g, H_rows)`` to override the
     autodiff evaluation with hand-derived closed forms on the hot path
     (Hessian autodiff costs ~5x the primal; the closed forms ~1.5x).
+
+    ``trial_unroll=(k_interp, k_extrap, k_prsrch)`` replaces the three
+    data-dependent trial-search while-loops inside each trust-region step
+    (Cauchy interpolation/extrapolation, projected backtracking) with
+    fixed-trip masked unrolled searches — the fast mode for the Pallas
+    kernel, where loop control runs on the scalar core and costs more than
+    the loop bodies. With caps equal to the loop caps (22, 10, 20) results
+    are bit-identical to the while-loop mode; smaller caps trade rare
+    pathological-lane accuracy for uniform cost (the TR machinery absorbs a
+    failed search by shrinking the radius).
+
+    ``alm_delta_fn(c, lam_old, mu_old, lam_new, mu_new, params) -> (B,)``
+    optionally supplies the exact objective change under a multiplier/penalty
+    update (obj is affine in lam and mu at fixed x), replacing the full
+    objective re-evaluation after each ALM round — the model knows its own
+    scaling, the solver does not.
     """
     n, B = x0.shape
     dtype = x0.dtype
@@ -268,43 +291,72 @@ def tron_alm_batched(
         need_interp = ~cauchy_ok(a0)
         fone = jnp.ones((B,), dtype)
 
-        def interp_cond(carry):
-            a, stop, k = carry
-            return jnp.any(stop < 0.5) & (k < _CAUCHY_ITERS)
+        if trial_unroll is not None:
+            # Fixed-trip masked searches: inside a Pallas kernel the
+            # data-dependent while-loops cost more in scalar-core loop
+            # control than their bodies do in VPU work (each trip is ~130
+            # flops/lane); unrolling makes every candidate evaluation
+            # independent and lets Mosaic pipeline them. Candidates come
+            # from the same chained multiplications as the loops, so with
+            # caps >= the loop caps the results are bit-identical.
+            k_interp, k_extrap, k_prsrch = trial_unroll
 
-        def interp_body(carry):
-            a, stop, k = carry
-            stopb = stop > 0.5
-            a2 = jnp.where(stopb, a, a * _INTERPF)
-            stop2 = stopb | cauchy_ok(a2)
-            return a2, stop2.astype(dtype), k + 1
+            cand = a0
+            a_interp = a0
+            have = jnp.zeros((B,), bool)
+            for _ in range(k_interp):
+                cand = cand * _INTERPF
+                okk = cauchy_ok(cand)
+                a_interp = jnp.where(have, a_interp, cand)
+                have = have | okk
 
-        a_interp, _, _ = lax.while_loop(
-            interp_cond, interp_body,
-            (a0, fone - need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
+            cand = a0
+            a_extrap = a0
+            prefix = ~need_interp
+            for _ in range(k_extrap):
+                cand = cand * _EXTRAPF
+                prefix = prefix & cauchy_ok(cand) & (cand < 1e12)
+                a_extrap = jnp.where(prefix, cand, a_extrap)
+        else:
+            def interp_cond(carry):
+                a, stop, k = carry
+                return jnp.any(stop < 0.5) & (k < _CAUCHY_ITERS)
 
-        def extrap_cond(carry):
-            a, stop, k = carry
-            return jnp.any(stop < 0.5) & (k < _EXTRAP_ITERS)
+            def interp_body(carry):
+                a, stop, k = carry
+                stopb = stop > 0.5
+                a2 = jnp.where(stopb, a, a * _INTERPF)
+                stop2 = stopb | cauchy_ok(a2)
+                return a2, stop2.astype(dtype), k + 1
 
-        def extrap_body(carry):
-            a_good, stop, k = carry
-            stopb = stop > 0.5
-            a_try = a_good * _EXTRAPF
-            good = cauchy_ok(a_try) & (a_try < 1e12)
-            a2 = jnp.where(good & ~stopb, a_try, a_good)
-            return a2, (stopb | ~good).astype(dtype), k + 1
+            a_interp, _, _ = lax.while_loop(
+                interp_cond, interp_body,
+                (a0, fone - need_interp.astype(dtype),
+                 jnp.zeros((), jnp.int32)))
 
-        a_extrap, _, _ = lax.while_loop(
-            extrap_cond, extrap_body,
-            (a0, need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
+            def extrap_cond(carry):
+                a, stop, k = carry
+                return jnp.any(stop < 0.5) & (k < _EXTRAP_ITERS)
+
+            def extrap_body(carry):
+                a_good, stop, k = carry
+                stopb = stop > 0.5
+                a_try = a_good * _EXTRAPF
+                good = cauchy_ok(a_try) & (a_try < 1e12)
+                a2 = jnp.where(good & ~stopb, a_try, a_good)
+                return a2, (stopb | ~good).astype(dtype), k + 1
+
+            a_extrap, _, _ = lax.while_loop(
+                extrap_cond, extrap_body,
+                (a0, need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
         alpha = jnp.where(need_interp, a_interp, a_extrap)
         sc = s_of(alpha)
         xc = x + sc
 
         # --- Newton direction on free variables ---
         free = (xc > xl) & (xc < xu)        # (n, B)
-        gc = g + hmatvec(H, sc)
+        Hsc = hmatvec(H, sc)
+        gc = g + Hsc
         gf = jnp.where(free, gc, 0.0)
         # mask H rows/cols: Hm[i][j] = H[i][j] * free_i * free_j + (i==j)*~free_i
         freef = free.astype(dtype)
@@ -330,27 +382,42 @@ def tron_alm_batched(
         d = d * jnp.maximum(tau, 0.0)[None, :]
 
         # --- projected backtracking from xc along d (dprsrch) ---
-        q_c = qval(sc)
+        # q_c via the cached H*sc (saves one hmatvec per step)
+        q_c = jnp.sum(g * sc, axis=0) + 0.5 * jnp.sum(sc * Hsc, axis=0)
 
-        def prs_cond(carry):
-            aw, best_s, found, k = carry
-            return jnp.any(found < 0.5) & (k < _PRSRCH_ITERS)
+        if trial_unroll is not None:
+            aw = jnp.ones((B,), dtype)
+            s_best = sc
+            found = jnp.zeros((B,), bool)
+            for _ in range(k_prsrch):
+                s_try = proj(xc + aw[None, :] * d) - x
+                decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
+                    jnp.sum(gc * (s_try - sc), axis=0), 0.0)
+                take = decr & ~found
+                s_best = jnp.where(take[None, :], s_try, s_best)
+                found = found | decr
+                aw = aw * 0.5
+            s = jnp.where(found[None, :], s_best, sc)
+        else:
+            def prs_cond(carry):
+                aw, best_s, found, k = carry
+                return jnp.any(found < 0.5) & (k < _PRSRCH_ITERS)
 
-        def prs_body(carry):
-            aw, best_s, found, k = carry
-            foundb = found > 0.5
-            s_try = proj(xc + aw[None, :] * d) - x
-            decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
-                jnp.sum(gc * (s_try - sc), axis=0), 0.0)
-            take = decr & ~foundb
-            best_s = jnp.where(take[None, :], s_try, best_s)
-            return aw * 0.5, best_s, (foundb | decr).astype(dtype), k + 1
+            def prs_body(carry):
+                aw, best_s, found, k = carry
+                foundb = found > 0.5
+                s_try = proj(xc + aw[None, :] * d) - x
+                decr = qval(s_try) <= q_c + _MU0 * jnp.minimum(
+                    jnp.sum(gc * (s_try - sc), axis=0), 0.0)
+                take = decr & ~foundb
+                best_s = jnp.where(take[None, :], s_try, best_s)
+                return aw * 0.5, best_s, (foundb | decr).astype(dtype), k + 1
 
-        aw0 = jnp.ones((B,), dtype)
-        _, s_best, found, _ = lax.while_loop(
-            prs_cond, prs_body,
-            (aw0, sc, jnp.zeros((B,), dtype), jnp.zeros((), jnp.int32)))
-        s = jnp.where(found[None, :] > 0.5, s_best, sc)
+            aw0 = jnp.ones((B,), dtype)
+            _, s_best, found, _ = lax.while_loop(
+                prs_cond, prs_body,
+                (aw0, sc, jnp.zeros((B,), dtype), jnp.zeros((), jnp.int32)))
+            s = jnp.where(found[None, :] > 0.5, s_best, sc)
 
         # --- ratio test & radius update (dtron) ---
         xt = x + s
@@ -448,7 +515,10 @@ def tron_alm_batched(
         tron_done = tron_done & ~restart
         tron_it = jnp.where(restart, 0, tron_it)
         need_init = need_init | restart
-        f_fresh = f_batched(x, lam, mu)
+        if alm_delta_fn is not None and ncon > 0:
+            f_fresh = f + alm_delta_fn(c, st.lam, st.mu, lam, mu, params)
+        else:
+            f_fresh = f_batched(x, lam, mu)
         f = jnp.where(restart, f_fresh, f)
         cviol = jnp.where(do_alm, cnorm, st.cviol)
 

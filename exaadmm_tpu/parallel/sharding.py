@@ -99,6 +99,7 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
         sol=sol_sp, inner=P(), primres=P(), dualres=P(), norm_z=P(),
         mismatch=P(), objval=P(), auglag=P(),
         avg_auglag_it=P(), avg_minor_it=P(),
+        lane_steps=P(axis), line_ids=P(axis),
     )
 
     def inner(gd_local, sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr):
@@ -130,6 +131,10 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
             auglag=jnp.asarray(0.0, dt),
             avg_auglag_it=jnp.asarray(0.0, dt),
             avg_minor_it=jnp.asarray(0.0, dt),
+            # local-shard placeholders (line sorting is a single-device
+            # optimization; each shard's own while_loop already exits early)
+            lane_steps=jnp.zeros(gd_local.YffR.shape, jnp.int32),
+            line_ids=jnp.zeros(gd_local.YffR.shape, jnp.int32),
         )
         return lax.while_loop(cond, body, c0)
 

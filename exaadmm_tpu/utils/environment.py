@@ -67,6 +67,19 @@ class Parameters:
     # branch ALM termination (auglag kernel :128-137)
     alm_ctol: float = 1e-6
 
+    # fixed-trip unrolled trial searches inside the TRON step
+    # (k_interp, k_extrap, k_prsrch); None = reference while-loop searches.
+    # (22, 10, 20) is bit-identical to None and faster inside the Pallas
+    # kernel; smaller caps are a tuned inexactness trade (see ops/tron.py).
+    tron_trial_unroll: tuple[int, int, int] | None = None
+
+    # difficulty-sort lines between outer iterations so hard lanes cluster
+    # into the same Pallas tiles and easy tiles exit their lockstep loop
+    # early (the per-lane step counts are heavily skewed: p50 ~3 steps,
+    # stragglers ~30; random order puts a straggler in every tile). Exactly
+    # permutation-equivariant up to reduction rounding.
+    sort_lines: bool = True
+
     # branch solver execution backend: "xla" (pure-JAX while loop over the
     # full batch) or "pallas" (fused VMEM-resident kernel, fp32 only, tiled
     # so each tile runs its own trip count). "auto" = pallas when on TPU
@@ -189,6 +202,23 @@ class Solution:
             rp=z(), rd=z(),
             branch_alm=BranchALMState.zeros(nline, dtype),
         )
+
+
+def permute_solution_lines(sol: Solution, ids) -> Solution:
+    """Reorder every line-indexed row of a Solution by ``ids`` (gather)."""
+    def pb(b: Blocks) -> Blocks:
+        return b.replace(line=b.line[ids])
+
+    return sol.replace(
+        u=pb(sol.u), v=pb(sol.v), l=pb(sol.l), rho=pb(sol.rho),
+        z=pb(sol.z), z_prev=pb(sol.z_prev), lz=pb(sol.lz),
+        rp=pb(sol.rp), rd=pb(sol.rd),
+        branch_alm=BranchALMState(
+            lam1=sol.branch_alm.lam1[ids],
+            lam2=sol.branch_alm.lam2[ids],
+            mu=sol.branch_alm.mu[ids],
+        ),
+    )
 
 
 @dataclasses.dataclass

@@ -72,6 +72,26 @@ class GridData:
     YshI: jnp.ndarray
 
 
+#: line-indexed GridData array fields (leading axis nline_padded)
+LINE_ARRAY_FIELDS = (
+    "YffR", "YffI", "YttR", "YttI", "YftR", "YftI", "YtfR", "YtfI",
+    "rate_a", "line_from", "line_to",
+    "fr_vm_bound", "to_vm_bound", "fr_va_bound", "to_va_bound", "line_mask",
+)
+
+
+def permute_lines(gd: GridData, ids) -> GridData:
+    """Reorder every line-indexed array by ``ids`` (gather on leading axis).
+
+    The ADMM iteration is permutation-equivariant in the line batch (the
+    reference's per-line CUDA blocks are order-free too); reordering only
+    changes which lines share a Pallas tile / device shard.
+    """
+    import dataclasses as _dc
+    return _dc.replace(
+        gd, **{f: getattr(gd, f)[ids] for f in LINE_ARRAY_FIELDS})
+
+
 def build_grid_data(
     data: OPFData,
     *,
