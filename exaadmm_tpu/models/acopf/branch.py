@@ -25,9 +25,10 @@ same proximal objective without slacks or ALM rounds.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from ...ops.tron import tron_alm_batched, tron_batched
+from ...ops.tron import TronALMResult, tron_alm_batched, tron_batched
 from ...utils.environment import BranchALMState, Parameters, Solution
 from ...utils.grid_data import GridData
 
@@ -308,19 +309,73 @@ def branch_update(
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
         mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
         lam0 = jnp.stack([alm.lam1, alm.lam2], axis=0)
-        res = _solver(
-            branch_obj_linelimit, branch_cons_linelimit,
-            x0, xl, xu, params, lam0, mu0,
+        kw = dict(
             gtol=gtol, frtol=frtol, ctol=ctol,
             mu_max=mu_max, max_minor=par.tron_max_minor,
-            max_auglag=par.max_auglag, step_cap=par.tron_step_cap,
-            active0=active0, fgh_fn=branch_fgh_linelimit,
+            max_auglag=par.max_auglag,
+            fgh_fn=branch_fgh_linelimit,
             trial_unroll=par.tron_trial_unroll,
-            alm_delta_fn=branch_alm_delta, **extra,
+            alm_delta_fn=branch_alm_delta,
         )
+        B = x0.shape[1]
+        tail_cap = par.branch_tail_tiles * par.pallas_tile
+        two_pass = (par.branch_two_pass
+                    and par.tron_step_cap is not None
+                    and par.tron_step_cap > par.branch_pass1_cap
+                    and B >= 4 * tail_cap)
+        if two_pass:
+            res1 = _solver(
+                branch_obj_linelimit, branch_cons_linelimit,
+                x0, xl, xu, params, lam0, mu0,
+                step_cap=par.branch_pass1_cap, active0=active0,
+                **kw, **extra,
+            )
+            # a lane is finished iff its last ALM check passed ctol or it
+            # exhausted its ALM rounds; anything else ran out of pass-1
+            # budget mid-solve
+            unfinished = active0 & ~((res1.cviol <= ctol)
+                                     | (res1.alm_iters >= par.max_auglag))
+            # compact the stragglers (stable: unfinished lanes first) and
+            # re-solve them from scratch with the full budget — identical
+            # per-lane trajectory to a single full-budget pass
+            idx = jnp.argsort(jnp.where(unfinished, 0, 1))[:tail_cap]
+            take = unfinished[idx]
+            params2 = jax.tree_util.tree_map(lambda a: a[..., idx], params)
+            res2 = _solver(
+                branch_obj_linelimit, branch_cons_linelimit,
+                x0[:, idx], xl[:, idx], xu[:, idx], params2,
+                lam0[:, idx], mu0[idx],
+                step_cap=par.tron_step_cap, active0=take,
+                **kw, **extra,
+            )
+
+            tail_overflow = jnp.maximum(
+                jnp.sum(unfinished.astype(jnp.int32)) - tail_cap, 0)
+
+            def merge(a1, a2):
+                upd = jnp.where(take, a2, a1[..., idx])
+                return a1.at[..., idx].set(upd)
+
+            res = TronALMResult(
+                x=merge(res1.x, res2.x),
+                lam=merge(res1.lam, res2.lam),
+                mu=merge(res1.mu, res2.mu),
+                minor_iters=merge(res1.minor_iters, res2.minor_iters),
+                alm_iters=merge(res1.alm_iters, res2.alm_iters),
+                cviol=merge(res1.cviol, res2.cviol),
+            )
+        else:
+            tail_overflow = jnp.zeros((), jnp.int32)
+            res = _solver(
+                branch_obj_linelimit, branch_cons_linelimit,
+                x0, xl, xu, params, lam0, mu0,
+                step_cap=par.tron_step_cap, active0=active0,
+                **kw, **extra,
+            )
         new_alm = BranchALMState(lam1=res.lam[0], lam2=res.lam[1], mu=res.mu)
         x = res.x
     else:
+        tail_overflow = jnp.zeros((), jnp.int32)
         x0, xl, xu = _warm_start_x0(u_line, gd, False)
         res = tron_batched(
             branch_obj_polar, x0, xl, xu, params,
@@ -355,13 +410,16 @@ def branch_update(
     ])
     max_cv = jnp.max(jnp.where(active0, res.cviol, 0.0))
     if axis_name is not None:
-        import jax
         sums = jax.lax.psum(sums, axis_name)
         max_cv = jax.lax.pmax(max_cv, axis_name)
     stats = {
         "avg_auglag_it": sums[0] / gd.nline,
         "avg_minor_it": sums[1] / gd.nline,
         "max_cviol": max_cv,
+        # stragglers beyond the two-pass tail capacity this call (they kept
+        # their pass-1 iterate; persistent non-zero values mean
+        # branch_tail_tiles should be raised)
+        "tail_overflow": tail_overflow,
         # per-lane lockstep steps consumed — the difficulty signal for the
         # driver's line sorting (Parameters.sort_lines)
         "lane_steps": ((res.minor_iters + res.alm_iters)

@@ -80,6 +80,18 @@ class Parameters:
     # permutation-equivariant up to reduction rounding.
     sort_lines: bool = True
 
+    # two-pass branch solve: pass 1 runs every tile with a small lockstep
+    # budget (branch_pass1_cap); the unfinished stragglers (p99 of lanes
+    # finish in <= ~7 steps) are then compacted into branch_tail_tiles
+    # Pallas tiles and re-solved from scratch with the full budget. Per-lane
+    # results are identical to the single-pass solve (lane trajectories are
+    # independent of tile composition); only stragglers beyond the tail
+    # capacity would keep their pass-1 iterate. Applied when the line batch
+    # spans enough tiles to matter.
+    branch_two_pass: bool = True
+    branch_pass1_cap: int = 6
+    branch_tail_tiles: int = 2
+
     # branch solver execution backend: "xla" (pure-JAX while loop over the
     # full batch) or "pallas" (fused VMEM-resident kernel, fp32 only, tiled
     # so each tile runs its own trip count). "auto" = pallas when on TPU
