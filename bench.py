@@ -32,47 +32,49 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
 def main():
-    from exaadmm_tpu.algorithms.admm_two_level import make_inner_loop
+    from exaadmm_tpu.algorithms.admm_two_level import make_fused_solver
     from exaadmm_tpu.models.acopf import model as M
     from exaadmm_tpu.utils.environment import Parameters
     from exaadmm_tpu.utils.synthetic import synthetic_case
 
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     data = synthetic_case(NBUS, seed=0)
+    # the timed unit is the fused production solver: OUTERS outer rounds x
+    # INNER_ITERS inner iterations in ONE dispatch (lz/beta/sort between
+    # inner loops included), continuing from a warmed-up mid-solve state
+    outers = int(os.environ.get("BENCH_OUTERS", 5))
     par = Parameters(verbose=0,
                      tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)),
-                     sort_lines=os.environ.get("BENCH_SORT", "1") == "1")
+                     sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
+                     inner_iterlim=INNER_ITERS,
+                     outer_iterlim=outers,
+                     outer_eps=0.0)  # never converge: fixed work per rep
     model = M.build_model(data, par, dtype=dtype)
     sol = M.init_solution(model, 400.0, 40000.0)
     par.scale = 1e-4
 
-    run_inner = make_inner_loop(model, INNER_ITERS)
-    beta = jnp.asarray(1e3, dtype)
+    run = make_fused_solver(model)
     gd = model.grid
     args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
-    line_ids = jnp.arange(gd.nline_padded, dtype=jnp.int32)
-    lane_steps = jnp.zeros((gd.nline_padded,), jnp.int32)
 
-    # warm-up: compiles and runs outer=1 (mu reset path) + steady state
-    carry = run_inner(sol, beta, jnp.asarray(1.0, dtype), *args,
-                      line_ids, lane_steps)
-    jax.block_until_ready(carry)
-    sol = carry.sol
+    # warm-up: compiles and reaches a steady mid-solve state
+    out = run(sol, 1e3, *args)
+    jax.block_until_ready(out)
+    sol = out.sol
 
     best = 0.0
     total_iters = 0
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        carry = run_inner(sol, beta, jnp.asarray(2.0 + rep, dtype), *args,
-                          carry.line_ids, carry.lane_steps)
-        jax.block_until_ready(carry)
+        out = run(sol, float(out.beta), *args)
+        jax.block_until_ready(out)
         dt_s = time.perf_counter() - t0
-        iters = int(carry.inner)
+        iters = int(out.cumul)
         total_iters += iters
         best = max(best, iters / dt_s)
-        sol = carry.sol
+        sol = out.sol
 
     value = best
     print(json.dumps({

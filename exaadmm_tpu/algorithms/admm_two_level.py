@@ -104,46 +104,55 @@ def make_inner_loop(model, inner_iterlim: int):
             line_ids = jnp.arange(nlp, dtype=jnp.int32)
         if lane_steps is None:
             lane_steps = jnp.zeros((nlp,), jnp.int32)
-
-        mod = model
-        if sorting:
-            # stable ascending sort: padded lanes (0 steps) lead, stragglers
-            # trail; identity when lane_steps is all-zero (first dispatch)
-            reorder = jnp.argsort(lane_steps)
-            line_ids = line_ids[reorder]
-            mod = dataclasses.replace(
-                model, grid=permute_lines(grid0, line_ids))
-            sol = permute_solution_lines(sol, reorder)
-
-        eps_pri = sqrt_d / (2500.0 * outer)
-
-        def cond(c: InnerCarry):
-            return (c.inner < inner_iterlim) & (c.primres > eps_pri)
-
-        def body(c: InnerCarry):
-            return _one_inner_iteration(mod, c, beta, Pd=Pd, Qd=Qd,
-                                        pg_bounds=(pgmin_curr, pgmax_curr))
-
-        dt = sol.u.gen.dtype
-        c0 = InnerCarry(
-            sol=sol,
-            inner=jnp.zeros((), jnp.int32),
-            primres=jnp.asarray(jnp.inf, dt),
-            dualres=jnp.asarray(jnp.inf, dt),
-            norm_z=jnp.asarray(jnp.inf, dt),
-            mismatch=jnp.asarray(jnp.inf, dt),
-            objval=jnp.asarray(0.0, dt),
-            auglag=jnp.asarray(0.0, dt),
-            avg_auglag_it=jnp.asarray(0.0, dt),
-            avg_minor_it=jnp.asarray(0.0, dt),
-            lane_steps=lane_steps,
-            line_ids=line_ids,
-        )
-        return lax.while_loop(cond, body, c0)
+        return _sorted_inner_while(
+            model, sorting, sqrt_d, inner_iterlim,
+            sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
+            line_ids, lane_steps)
 
     run_inner.line_sort = sorting
     run_inner.nline_padded = grid0.nline_padded if grid0 is not None else 0
     return run_inner
+
+
+def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
+                        sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
+                        line_ids, lane_steps) -> InnerCarry:
+    """(Optionally sort lines by difficulty, then) run the inner ADMM loop."""
+    mod = model
+    if sorting:
+        # stable ascending sort: padded lanes (0 steps) lead, stragglers
+        # trail; identity when lane_steps is all-zero (first dispatch)
+        reorder = jnp.argsort(lane_steps)
+        line_ids = line_ids[reorder]
+        mod = dataclasses.replace(
+            model, grid=permute_lines(model.grid, line_ids))
+        sol = permute_solution_lines(sol, reorder)
+
+    eps_pri = sqrt_d / (2500.0 * outer)
+
+    def cond(c: InnerCarry):
+        return (c.inner < inner_iterlim) & (c.primres > eps_pri)
+
+    def body(c: InnerCarry):
+        return _one_inner_iteration(mod, c, beta, Pd=Pd, Qd=Qd,
+                                    pg_bounds=(pgmin_curr, pgmax_curr))
+
+    dt = sol.u.gen.dtype
+    c0 = InnerCarry(
+        sol=sol,
+        inner=jnp.zeros((), jnp.int32),
+        primres=jnp.asarray(jnp.inf, dt),
+        dualres=jnp.asarray(jnp.inf, dt),
+        norm_z=jnp.asarray(jnp.inf, dt),
+        mismatch=jnp.asarray(jnp.inf, dt),
+        objval=jnp.asarray(0.0, dt),
+        auglag=jnp.asarray(0.0, dt),
+        avg_auglag_it=jnp.asarray(0.0, dt),
+        avg_minor_it=jnp.asarray(0.0, dt),
+        lane_steps=lane_steps,
+        line_ids=line_ids,
+    )
+    return lax.while_loop(cond, body, c0)
 
 
 def restore_line_order(sol: Solution, line_ids) -> Solution:
@@ -151,6 +160,137 @@ def restore_line_order(sol: Solution, line_ids) -> Solution:
     original positions (line_ids[i] = original id now at position i)."""
     inv = jnp.argsort(line_ids)
     return permute_solution_lines(sol, inv)
+
+
+@pytree_dataclass
+class OuterCarry:
+    sol: Solution
+    beta: jnp.ndarray
+    outer: jnp.ndarray        # i32
+    cumul: jnp.ndarray        # i32 total inner iterations
+    inner_last: jnp.ndarray   # i32
+    norm_z_prev: jnp.ndarray
+    norm_z: jnp.ndarray
+    mismatch: jnp.ndarray
+    primres: jnp.ndarray
+    dualres: jnp.ndarray
+    objval: jnp.ndarray
+    auglag: jnp.ndarray
+    lane_steps: jnp.ndarray
+    line_ids: jnp.ndarray
+
+
+def make_fused_solver(model, par=None):
+    """Entire two-level ADMM as ONE jitted dispatch (silent path).
+
+    The reference keeps the outer augmented-Lagrangian loop on the host for
+    per-iteration printing (admm_two_level.jl:29-77); on this TPU tunnel a
+    dispatch plus the outer-loop scalar readbacks cost tens of ms per outer
+    iteration, so the production path fuses the outer loop on device too:
+    outer ``lax.while_loop`` {inner while_loop; lz update; beta escalation}.
+    Identical update order and break conditions to :func:`admm_two_level`
+    (which remains the verbose/debug path).
+
+    Returns ``run(sol, beta0, Pd, Qd, pgmin, pgmax) -> OuterCarry`` with the
+    solution already restored to canonical line order.
+    """
+    par = par or model.par
+    sqrt_d = float(model.nvar) ** 0.5
+    outer_tol = sqrt_d * par.outer_eps
+    grid0 = model.grid
+    sorting = getattr(model, "supports_line_sort", False) and par.sort_lines
+    inner_iterlim = par.inner_iterlim
+    outer_iterlim = par.outer_iterlim
+
+    @jax.jit
+    def run(sol: Solution, beta0, Pd, Qd, pgmin_curr, pgmax_curr) -> OuterCarry:
+        dt = sol.u.gen.dtype
+        nlp = grid0.nline_padded
+
+        def cond(c: OuterCarry):
+            return (c.outer < outer_iterlim) & (c.mismatch > outer_tol)
+
+        def body(c: OuterCarry):
+            outer = c.outer + 1
+            ic = _sorted_inner_while(
+                model, sorting, sqrt_d, inner_iterlim,
+                c.sol, c.beta, outer.astype(dt), Pd, Qd,
+                pgmin_curr, pgmax_curr, c.line_ids, c.lane_steps)
+            solved = ic.mismatch <= outer_tol
+            # lz <- clamp(lz + beta z) only when continuing (host driver
+            # breaks before the lz step on convergence)
+            sol_lz = model.update_lz(ic.sol, c.beta)
+            sol2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(solved, a, b), ic.sol, sol_lz)
+            beta = jnp.where(
+                (~solved) & (ic.norm_z > par.theta * c.norm_z),
+                jnp.minimum(par.inc_c * c.beta, 1e24), c.beta)
+            return OuterCarry(
+                sol=sol2, beta=beta, outer=outer,
+                cumul=c.cumul + ic.inner, inner_last=ic.inner,
+                norm_z_prev=c.norm_z, norm_z=ic.norm_z,
+                mismatch=ic.mismatch, primres=ic.primres,
+                dualres=ic.dualres, objval=ic.objval, auglag=ic.auglag,
+                lane_steps=ic.lane_steps, line_ids=ic.line_ids,
+            )
+
+        c0 = OuterCarry(
+            sol=sol,
+            beta=jnp.asarray(beta0, dt),
+            outer=jnp.zeros((), jnp.int32),
+            cumul=jnp.zeros((), jnp.int32),
+            inner_last=jnp.zeros((), jnp.int32),
+            norm_z_prev=jnp.asarray(jnp.inf, dt),
+            norm_z=jnp.asarray(jnp.inf, dt),
+            mismatch=jnp.asarray(jnp.inf, dt),
+            primres=jnp.asarray(jnp.inf, dt),
+            dualres=jnp.asarray(jnp.inf, dt),
+            objval=jnp.asarray(0.0, dt),
+            auglag=jnp.asarray(0.0, dt),
+            lane_steps=jnp.zeros((nlp,), jnp.int32),
+            line_ids=jnp.arange(nlp, dtype=jnp.int32),
+        )
+        out = lax.while_loop(cond, body, c0)
+        return out.replace(sol=restore_line_order(out.sol, out.line_ids))
+
+    return run
+
+
+def admm_two_level_fused(model, sol: Solution,
+                         info: IterationInformation | None = None,
+                         run=None, Pd=None, Qd=None,
+                         pgmin_curr=None, pgmax_curr=None):
+    """Single-dispatch counterpart of :func:`admm_two_level` (verbose=0)."""
+    par = model.par
+    info = info or IterationInformation()
+    if run is None:
+        run = make_fused_solver(model)
+    gd = model.grid
+    t0 = time.perf_counter()
+    out = run(sol,
+              par.initial_beta,
+              gd.Pd if Pd is None else Pd,
+              gd.Qd if Qd is None else Qd,
+              model.pgmin_curr if pgmin_curr is None else pgmin_curr,
+              model.pgmax_curr if pgmax_curr is None else pgmax_curr)
+    jax.block_until_ready(out)
+    info.time_overall = time.perf_counter() - t0
+    info.outer = int(out.outer)
+    info.inner = int(out.inner_last)
+    info.cumul = int(out.cumul)
+    info.primres = float(out.primres)
+    info.dualres = float(out.dualres)
+    info.norm_z_curr = float(out.norm_z)
+    info.norm_z_prev = float(out.norm_z_prev)
+    info.mismatch = float(out.mismatch)
+    info.objval = float(out.objval)
+    info.auglag = float(out.auglag)
+    sqrt_d = float(model.nvar) ** 0.5
+    info.eps_pri = sqrt_d / (2500.0 * max(info.outer, 1))
+    info.status = ("Solved" if info.mismatch <= sqrt_d * par.outer_eps
+                   else "IterationLimit")
+    par.beta = float(out.beta)
+    return out.sol, info
 
 
 def admm_two_level(model, sol: Solution, info: IterationInformation | None = None,

@@ -12,7 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..algorithms.admm_two_level import admm_two_level
+from ..algorithms.admm_two_level import admm_two_level, admm_two_level_fused
 from ..models.acopf import model as M
 from ..utils.environment import AdmmEnv, IterationInformation, Parameters, Solution
 from ..utils.opfdata import OPFData, opf_loaddata
@@ -88,11 +88,16 @@ def solve_acopf(
             dtype=dtype,
         )
         sol = init_sol = M.init_solution(model, rho_pq, rho_va)
-        run_inner = None
         if mesh is not None:
             from ..parallel.sharding import make_sharded_inner_loop
             run_inner = make_sharded_inner_loop(model, mesh, par.inner_iterlim)
-        sol, info = admm_two_level(model, sol, run_inner=run_inner)
+            sol, info = admm_two_level(model, sol, run_inner=run_inner)
+        elif verbose > 0:
+            # host outer loop: one line per outer iteration
+            sol, info = admm_two_level(model, sol)
+        else:
+            # production path: entire solve in one dispatch
+            sol, info = admm_two_level_fused(model, sol)
 
         if use_projection:
             from ..models.pf.projection import pf_projection
