@@ -337,14 +337,32 @@ def branch_update(
                                      | (res1.alm_iters >= par.max_auglag))
             # compact the stragglers (stable: unfinished lanes first) and
             # re-solve them from scratch with the full budget — identical
-            # per-lane trajectory to a single full-budget pass
+            # per-lane trajectory to a single full-budget pass.
+            # Gathers/scatters cost ~90us per CALL on TPU regardless of row
+            # count, so all pass-2 traffic is packed into row-stacked arrays:
+            # one input gather, one output gather, one output scatter.
             idx = jnp.argsort(jnp.where(unfinished, 0, 1))[:tail_cap]
-            take = unfinished[idx]
-            params2 = jax.tree_util.tree_map(lambda a: a[..., idx], params)
+            dtype = x0.dtype
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            rows_in = [x0, xl, xu, lam0, mu0[None, :],
+                       unfinished.astype(dtype)[None, :]]
+            rows_in += [leaf.reshape(-1, B) for leaf in leaves]
+            pack = jnp.concatenate(rows_in, axis=0)
+            sub = pack[:, idx]
+            off = [0]
+            for a in rows_in:
+                off.append(off[-1] + a.shape[0])
+            cut = lambda i: sub[off[i]:off[i + 1]]  # noqa: E731
+            take = cut(5)[0] > 0.5
+            leaf_subs = [
+                cut(6 + i).reshape(leaf.shape[:-1] + (sub.shape[1],))
+                for i, leaf in enumerate(leaves)
+            ]
+            params2 = jax.tree_util.tree_unflatten(treedef, leaf_subs)
             res2 = _solver(
                 branch_obj_linelimit, branch_cons_linelimit,
-                x0[:, idx], xl[:, idx], xu[:, idx], params2,
-                lam0[:, idx], mu0[idx],
+                cut(0), cut(1), cut(2), params2,
+                cut(3), cut(4)[0],
                 step_cap=par.tron_step_cap, active0=take,
                 **kw, **extra,
             )
@@ -352,17 +370,24 @@ def branch_update(
             tail_overflow = jnp.maximum(
                 jnp.sum(unfinished.astype(jnp.int32)) - tail_cap, 0)
 
-            def merge(a1, a2):
-                upd = jnp.where(take, a2, a1[..., idx])
-                return a1.at[..., idx].set(upd)
+            def out_pack(r):
+                return jnp.concatenate([
+                    r.x, r.lam, r.mu[None],
+                    r.minor_iters.astype(dtype)[None],
+                    r.alm_iters.astype(dtype)[None],
+                    r.cviol[None],
+                ], axis=0)
 
+            out1 = out_pack(res1)
+            upd = jnp.where(take[None, :], out_pack(res2), out1[:, idx])
+            merged = out1.at[:, idx].set(upd)
             res = TronALMResult(
-                x=merge(res1.x, res2.x),
-                lam=merge(res1.lam, res2.lam),
-                mu=merge(res1.mu, res2.mu),
-                minor_iters=merge(res1.minor_iters, res2.minor_iters),
-                alm_iters=merge(res1.alm_iters, res2.alm_iters),
-                cviol=merge(res1.cviol, res2.cviol),
+                x=merged[:6],
+                lam=merged[6:8],
+                mu=merged[8],
+                minor_iters=merged[9].astype(jnp.int32),
+                alm_iters=merged[10].astype(jnp.int32),
+                cviol=merged[11],
             )
         else:
             tail_overflow = jnp.zeros((), jnp.int32)

@@ -217,19 +217,27 @@ class Solution:
 
 
 def permute_solution_lines(sol: Solution, ids) -> Solution:
-    """Reorder every line-indexed row of a Solution by ``ids`` (gather)."""
-    def pb(b: Blocks) -> Blocks:
-        return b.replace(line=b.line[ids])
+    """Reorder every line-indexed row of a Solution by ``ids``.
 
+    Packed into a single gather: on TPU a gather costs ~90us per CALL
+    independent of the row count, so the 12 line-indexed arrays are
+    concatenated column-wise and gathered once."""
+    blocks = (sol.u, sol.v, sol.l, sol.rho, sol.z, sol.z_prev, sol.lz,
+              sol.rp, sol.rd)
+    alm = sol.branch_alm
+    pack = jnp.concatenate(
+        [b.line for b in blocks]
+        + [alm.lam1[:, None], alm.lam2[:, None], alm.mu[:, None]], axis=1)
+    sub = pack[ids]
+    new_blocks = [
+        blocks[i].replace(line=sub[:, 8 * i:8 * (i + 1)]) for i in range(9)
+    ]
     return sol.replace(
-        u=pb(sol.u), v=pb(sol.v), l=pb(sol.l), rho=pb(sol.rho),
-        z=pb(sol.z), z_prev=pb(sol.z_prev), lz=pb(sol.lz),
-        rp=pb(sol.rp), rd=pb(sol.rd),
+        u=new_blocks[0], v=new_blocks[1], l=new_blocks[2], rho=new_blocks[3],
+        z=new_blocks[4], z_prev=new_blocks[5], lz=new_blocks[6],
+        rp=new_blocks[7], rd=new_blocks[8],
         branch_alm=BranchALMState(
-            lam1=sol.branch_alm.lam1[ids],
-            lam2=sol.branch_alm.lam2[ids],
-            mu=sol.branch_alm.mu[ids],
-        ),
+            lam1=sub[:, 72], lam2=sub[:, 73], mu=sub[:, 74]),
     )
 
 

@@ -81,15 +81,37 @@ LINE_ARRAY_FIELDS = (
 
 
 def permute_lines(gd: GridData, ids) -> GridData:
-    """Reorder every line-indexed array by ``ids`` (gather on leading axis).
+    """Reorder every line-indexed array by ``ids``.
 
     The ADMM iteration is permutation-equivariant in the line batch (the
     reference's per-line CUDA blocks are order-free too); reordering only
-    changes which lines share a Pallas tile / device shard.
+    changes which lines share a Pallas tile / device shard. All 16 arrays
+    are packed column-wise and gathered ONCE (TPU gathers cost ~90us per
+    call regardless of width); the int32 bus indices ride along as floats
+    (exact below 2^23).
     """
     import dataclasses as _dc
-    return _dc.replace(
-        gd, **{f: getattr(gd, f)[ids] for f in LINE_ARRAY_FIELDS})
+    dtype = gd.YffR.dtype
+    cols, spans, names = [], {}, []
+    pos = 0
+    for f in LINE_ARRAY_FIELDS:
+        a = getattr(gd, f)
+        col = a.astype(dtype)
+        if col.ndim == 1:
+            col = col[:, None]
+        cols.append(col)
+        spans[f] = (pos, pos + col.shape[1], a.dtype, a.ndim)
+        pos += col.shape[1]
+        names.append(f)
+    sub = jnp.concatenate(cols, axis=1)[ids]
+    out = {}
+    for f in names:
+        lo, hi, dt, nd = spans[f]
+        col = sub[:, lo:hi]
+        if nd == 1:
+            col = col[:, 0]
+        out[f] = col.astype(dt)
+    return _dc.replace(gd, **out)
 
 
 def build_grid_data(
