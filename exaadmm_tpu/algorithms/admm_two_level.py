@@ -251,7 +251,9 @@ def make_fused_solver(model, par=None):
             line_ids=jnp.arange(nlp, dtype=jnp.int32),
         )
         out = lax.while_loop(cond, body, c0)
-        return out.replace(sol=restore_line_order(out.sol, out.line_ids))
+        if sorting:
+            out = out.replace(sol=restore_line_order(out.sol, out.line_ids))
+        return out
 
     return run
 
@@ -265,12 +267,11 @@ def admm_two_level_fused(model, sol: Solution,
     info = info or IterationInformation()
     if run is None:
         run = make_fused_solver(model)
-    gd = model.grid
     t0 = time.perf_counter()
     out = run(sol,
               par.initial_beta,
-              gd.Pd if Pd is None else Pd,
-              gd.Qd if Qd is None else Qd,
+              model.default_Pd() if Pd is None else Pd,
+              model.default_Qd() if Qd is None else Qd,
               model.pgmin_curr if pgmin_curr is None else pgmin_curr,
               model.pgmax_curr if pgmax_curr is None else pgmax_curr)
     jax.block_until_ready(out)

@@ -17,7 +17,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..algorithms.admm_two_level import admm_two_level, make_inner_loop
+from ..algorithms.admm_two_level import (admm_two_level, admm_two_level_fused,
+                                         make_fused_solver, make_inner_loop)
 from ..models.acopf import model as M
 from ..utils.environment import IterationInformation, Parameters
 from ..utils.opfdata import load_time_series, opf_loaddata
@@ -75,7 +76,10 @@ def solve_acopf_rolling(
     ramp_rate = ramp_ratio * model.grid.pgmax
 
     sol = M.init_solution(model, rho_pq, rho_va)
-    run_inner = make_inner_loop(model, par.inner_iterlim)
+    if verbose > 0:
+        run_inner = make_inner_loop(model, par.inner_iterlim)
+    else:
+        run_fused = make_fused_solver(model)
 
     pgmin_curr, pgmax_curr = model.grid.pgmin, model.grid.pgmax
     infos = []
@@ -83,10 +87,16 @@ def solve_acopf_rolling(
         Pd = jnp.asarray(pd_mat[:, t], dtype)
         Qd = jnp.asarray(qd_mat[:, t], dtype)
         info = IterationInformation()
-        sol, info = admm_two_level(
-            model, sol, info, run_inner=run_inner, Pd=Pd, Qd=Qd,
-            pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr,
-        )
+        if verbose > 0:
+            sol, info = admm_two_level(
+                model, sol, info, run_inner=run_inner, Pd=Pd, Qd=Qd,
+                pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr,
+            )
+        else:
+            sol, info = admm_two_level_fused(
+                model, sol, info, run=run_fused, Pd=Pd, Qd=Qd,
+                pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr,
+            )
         infos.append(info)
         if verbose > 0:
             print(f" ** Period {t + 1}: status={info.status} "

@@ -15,7 +15,8 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..algorithms.admm_two_level import admm_two_level
+from ..algorithms.admm_two_level import (admm_two_level, admm_two_level_fused,
+                                         make_fused_solver)
 from ..models.acopf import model as acopf_M
 from ..models.mpacopf import model as mp_M
 from ..utils.environment import IterationInformation, Parameters
@@ -79,15 +80,24 @@ def solve_mpacopf(
     if warm_start and model.T > 1:
         single = acopf_M.ModelAcopf(grid=model.grid, par=dataclasses.replace(par),
                                     use_linelimit=use_linelimit)
-        from ..algorithms.admm_two_level import make_inner_loop
-        run_inner = make_inner_loop(single, par.inner_iterlim)
+        if verbose > 0:
+            from ..algorithms.admm_two_level import make_inner_loop
+            run_inner = make_inner_loop(single, par.inner_iterlim)
+        else:
+            run_fused = make_fused_solver(single)
         warm = []
         for t in range(model.T):
             s_t = acopf_M.init_solution(single, rho_pq, rho_va)
-            s_t, info_t = admm_two_level(
-                single, s_t, IterationInformation(), run_inner=run_inner,
-                Pd=model.Pd[t], Qd=model.Qd[t],
-            )
+            if verbose > 0:
+                s_t, info_t = admm_two_level(
+                    single, s_t, IterationInformation(), run_inner=run_inner,
+                    Pd=model.Pd[t], Qd=model.Qd[t],
+                )
+            else:
+                s_t, info_t = admm_two_level_fused(
+                    single, s_t, IterationInformation(), run=run_fused,
+                    Pd=model.Pd[t], Qd=model.Qd[t],
+                )
             if verbose > 0:
                 print(f" warm start period {t+1}: {info_t.status} "
                       f"obj={info_t.objval:.6e}")
@@ -95,7 +105,10 @@ def solve_mpacopf(
 
     sol = mp_M.init_solution(model, rho_pq, rho_va, warm=warm)
     info = IterationInformation()
-    sol, info = admm_two_level(model, sol, info)
+    if verbose > 0:
+        sol, info = admm_two_level(model, sol, info)
+    else:
+        sol, info = admm_two_level_fused(model, sol, info)
 
     err_ramp = mp_M.check_ramp_violations(model, sol)
     if verbose > 0:

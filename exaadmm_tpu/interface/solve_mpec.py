@@ -9,7 +9,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..algorithms.admm_two_level import admm_two_level
+from ..algorithms.admm_two_level import admm_two_level, admm_two_level_fused
 from ..models.mpec import model as MM
 from ..utils.environment import IterationInformation, Parameters
 from ..utils.grid_data import build_grid_data
@@ -86,7 +86,10 @@ def solve_acopf_mpec(
         use_linelimit=use_linelimit,
     )
     sol = MM.init_solution(model, rho_pq, rho_va)
-    sol, info = admm_two_level(model, sol)
+    if verbose > 0:
+        sol, info = admm_two_level(model, sol)
+    else:
+        sol, info = admm_two_level_fused(model, sol)
 
     freq_change = float(sol.v.fg[0]) if gd.ngen > 0 else 0.0
     vm_dev = float(jnp.max(jnp.abs(jnp.sqrt(jnp.maximum(sol.u.vg, 0.0))
