@@ -116,7 +116,7 @@ def make_inner_loop(model, inner_iterlim: int):
 
 def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
                         sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
-                        line_ids, lane_steps) -> InnerCarry:
+                        line_ids, lane_steps, axis_name=None) -> InnerCarry:
     """(Optionally sort lines by difficulty, then) run the inner ADMM loop."""
     mod = model
     if sorting:
@@ -134,7 +134,8 @@ def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
         return (c.inner < inner_iterlim) & (c.primres > eps_pri)
 
     def body(c: InnerCarry):
-        return _one_inner_iteration(mod, c, beta, Pd=Pd, Qd=Qd,
+        return _one_inner_iteration(mod, c, beta, axis_name=axis_name,
+                                    Pd=Pd, Qd=Qd,
                                     pg_bounds=(pgmin_curr, pgmax_curr))
 
     dt = sol.u.gen.dtype
@@ -196,66 +197,77 @@ def make_fused_solver(model, par=None):
     """
     par = par or model.par
     sqrt_d = float(model.nvar) ** 0.5
-    outer_tol = sqrt_d * par.outer_eps
-    grid0 = model.grid
     sorting = getattr(model, "supports_line_sort", False) and par.sort_lines
-    inner_iterlim = par.inner_iterlim
-    outer_iterlim = par.outer_iterlim
 
     @jax.jit
     def run(sol: Solution, beta0, Pd, Qd, pgmin_curr, pgmax_curr) -> OuterCarry:
-        dt = sol.u.gen.dtype
-        nlp = grid0.nline_padded
-
-        def cond(c: OuterCarry):
-            return (c.outer < outer_iterlim) & (c.mismatch > outer_tol)
-
-        def body(c: OuterCarry):
-            outer = c.outer + 1
-            ic = _sorted_inner_while(
-                model, sorting, sqrt_d, inner_iterlim,
-                c.sol, c.beta, outer.astype(dt), Pd, Qd,
-                pgmin_curr, pgmax_curr, c.line_ids, c.lane_steps)
-            solved = ic.mismatch <= outer_tol
-            # lz <- clamp(lz + beta z) only when continuing (host driver
-            # breaks before the lz step on convergence)
-            sol_lz = model.update_lz(ic.sol, c.beta)
-            sol2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(solved, a, b), ic.sol, sol_lz)
-            beta = jnp.where(
-                (~solved) & (ic.norm_z > par.theta * c.norm_z),
-                jnp.minimum(par.inc_c * c.beta, 1e24), c.beta)
-            return OuterCarry(
-                sol=sol2, beta=beta, outer=outer,
-                cumul=c.cumul + ic.inner, inner_last=ic.inner,
-                norm_z_prev=c.norm_z, norm_z=ic.norm_z,
-                mismatch=ic.mismatch, primres=ic.primres,
-                dualres=ic.dualres, objval=ic.objval, auglag=ic.auglag,
-                lane_steps=ic.lane_steps, line_ids=ic.line_ids,
-            )
-
-        c0 = OuterCarry(
-            sol=sol,
-            beta=jnp.asarray(beta0, dt),
-            outer=jnp.zeros((), jnp.int32),
-            cumul=jnp.zeros((), jnp.int32),
-            inner_last=jnp.zeros((), jnp.int32),
-            norm_z_prev=jnp.asarray(jnp.inf, dt),
-            norm_z=jnp.asarray(jnp.inf, dt),
-            mismatch=jnp.asarray(jnp.inf, dt),
-            primres=jnp.asarray(jnp.inf, dt),
-            dualres=jnp.asarray(jnp.inf, dt),
-            objval=jnp.asarray(0.0, dt),
-            auglag=jnp.asarray(0.0, dt),
-            lane_steps=jnp.zeros((nlp,), jnp.int32),
-            line_ids=jnp.arange(nlp, dtype=jnp.int32),
-        )
-        out = lax.while_loop(cond, body, c0)
+        out = _fused_outer_while(model, sorting, sqrt_d, par,
+                                 sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr)
         if sorting:
             out = out.replace(sol=restore_line_order(out.sol, out.line_ids))
         return out
 
     return run
+
+
+def _fused_outer_while(model, sorting, sqrt_d, par,
+                       sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr,
+                       axis_name=None) -> OuterCarry:
+    """The fused outer loop body, shared by the single-device and the
+    shard_map solvers. Leaves ``sol`` in sorted order when sorting is on."""
+    outer_tol = sqrt_d * par.outer_eps
+    inner_iterlim = par.inner_iterlim
+    outer_iterlim = par.outer_iterlim
+    dt = sol.u.gen.dtype if hasattr(sol, "u") else (
+        jax.tree_util.tree_leaves(sol)[0].dtype)
+    # local line count (differs from the static global under shard_map)
+    nlp = model.grid.YffR.shape[0]
+
+    def cond(c: OuterCarry):
+        return (c.outer < outer_iterlim) & (c.mismatch > outer_tol)
+
+    def body(c: OuterCarry):
+        outer = c.outer + 1
+        ic = _sorted_inner_while(
+            model, sorting, sqrt_d, inner_iterlim,
+            c.sol, c.beta, outer.astype(dt), Pd, Qd,
+            pgmin_curr, pgmax_curr, c.line_ids, c.lane_steps,
+            axis_name=axis_name)
+        solved = ic.mismatch <= outer_tol
+        # lz <- clamp(lz + beta z) only when continuing (host driver
+        # breaks before the lz step on convergence)
+        sol_lz = model.update_lz(ic.sol, c.beta)
+        sol2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(solved, a, b), ic.sol, sol_lz)
+        beta = jnp.where(
+            (~solved) & (ic.norm_z > par.theta * c.norm_z),
+            jnp.minimum(par.inc_c * c.beta, 1e24), c.beta)
+        return OuterCarry(
+            sol=sol2, beta=beta, outer=outer,
+            cumul=c.cumul + ic.inner, inner_last=ic.inner,
+            norm_z_prev=c.norm_z, norm_z=ic.norm_z,
+            mismatch=ic.mismatch, primres=ic.primres,
+            dualres=ic.dualres, objval=ic.objval, auglag=ic.auglag,
+            lane_steps=ic.lane_steps, line_ids=ic.line_ids,
+        )
+
+    c0 = OuterCarry(
+        sol=sol,
+        beta=jnp.asarray(beta0, dt),
+        outer=jnp.zeros((), jnp.int32),
+        cumul=jnp.zeros((), jnp.int32),
+        inner_last=jnp.zeros((), jnp.int32),
+        norm_z_prev=jnp.asarray(jnp.inf, dt),
+        norm_z=jnp.asarray(jnp.inf, dt),
+        mismatch=jnp.asarray(jnp.inf, dt),
+        primres=jnp.asarray(jnp.inf, dt),
+        dualres=jnp.asarray(jnp.inf, dt),
+        objval=jnp.asarray(0.0, dt),
+        auglag=jnp.asarray(0.0, dt),
+        lane_steps=jnp.zeros((nlp,), jnp.int32),
+        line_ids=jnp.arange(nlp, dtype=jnp.int32),
+    )
+    return lax.while_loop(cond, body, c0)
 
 
 def admm_two_level_fused(model, sol: Solution,

@@ -88,7 +88,12 @@ def solve_acopf(
             dtype=dtype,
         )
         sol = init_sol = M.init_solution(model, rho_pq, rho_va)
-        if mesh is not None:
+        if mesh is not None and verbose == 0:
+            # multi-chip production path: whole solve in one sharded dispatch
+            from ..parallel.sharding import make_sharded_fused_solver
+            run = make_sharded_fused_solver(model, mesh)
+            sol, info = admm_two_level_fused(model, sol, run=run)
+        elif mesh is not None:
             from ..parallel.sharding import make_sharded_inner_loop
             run_inner = make_sharded_inner_loop(model, mesh, par.inner_iterlim)
             sol, info = admm_two_level(model, sol, run_inner=run_inner)

@@ -151,3 +151,64 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
         return sharded(gd, sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr)
 
     return run_inner
+
+
+def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
+    """Sharded counterpart of admm_two_level.make_fused_solver: the WHOLE
+    two-level solve (outer + inner loops, lz updates, beta escalation) as a
+    single jitted shard_map dispatch.
+
+    All loop-break decisions derive from psum'd scalars, so every device
+    takes identical trip counts and the collectives stay aligned. Line
+    sorting is disabled in the sharded path (each device's own while_loop
+    already exits early on an easy shard).
+
+    Returns ``run(sol, beta0, Pd, Qd, pgmin, pgmax) -> OuterCarry``.
+    """
+    import dataclasses as _dc
+
+    from ..algorithms.admm_two_level import OuterCarry, _fused_outer_while
+
+    sqrt_d = float(model.nvar) ** 0.5
+    gd = model.grid
+    par = model.par
+    assert gd.nline_padded % mesh.devices.size == 0, (
+        f"nline_padded={gd.nline_padded} not divisible by mesh size "
+        f"{mesh.devices.size}; build the model with pad_lines_to=n_devices"
+    )
+
+    if hasattr(model, "solution_spec"):
+        sol_sp = model.solution_spec(axis)
+    else:
+        sol_sp = solution_specs(axis)
+    carry_sp = OuterCarry(
+        sol=sol_sp, beta=P(), outer=P(), cumul=P(), inner_last=P(),
+        norm_z_prev=P(), norm_z=P(), mismatch=P(), primres=P(),
+        dualres=P(), objval=P(), auglag=P(),
+        lane_steps=P(axis), line_ids=P(axis),
+    )
+
+    def solve(gd_local, sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr):
+        if hasattr(model, "local_model"):
+            model_local = model.local_model(gd_local, pgmin_curr, pgmax_curr)
+        else:
+            model_local = _dc.replace(
+                model, grid=gd_local,
+                pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr)
+        return _fused_outer_while(
+            model_local, False, sqrt_d, par,
+            sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr, axis_name=axis)
+
+    sharded = jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(grid_specs(gd, axis), sol_sp, P(), P(), P(), P(), P()),
+        out_specs=carry_sp,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr):
+        return sharded(gd, sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr)
+
+    return run
