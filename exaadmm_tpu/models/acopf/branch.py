@@ -318,7 +318,12 @@ def branch_update(
             alm_delta_fn=branch_alm_delta,
         )
         B = x0.shape[1]
-        tail_cap = par.branch_tail_tiles * par.pallas_tile
+        if par.branch_tail_tiles is None:
+            # ~1/8 of the batch, rounded up to whole tiles
+            lanes = -(-B // 8)
+            tail_cap = -(-lanes // par.pallas_tile) * par.pallas_tile
+        else:
+            tail_cap = par.branch_tail_tiles * par.pallas_tile
         two_pass = (par.branch_two_pass
                     and par.tron_step_cap is not None
                     and par.tron_step_cap > par.branch_pass1_cap

@@ -87,10 +87,11 @@ class Parameters:
     # results are identical to the single-pass solve (lane trajectories are
     # independent of tile composition); only stragglers beyond the tail
     # capacity would keep their pass-1 iterate. Applied when the line batch
-    # spans enough tiles to matter.
+    # spans enough tiles to matter. branch_tail_tiles=None sizes the tail
+    # to 1/8 of the batch (observed straggler rate ~4%, 3x headroom).
     branch_two_pass: bool = True
     branch_pass1_cap: int = 6
-    branch_tail_tiles: int = 2
+    branch_tail_tiles: int | None = None
 
     # branch solver execution backend: "xla" (pure-JAX while loop over the
     # full batch) or "pallas" (fused VMEM-resident kernel, fp32 only, tiled
