@@ -179,19 +179,47 @@ def branch_fgh_linelimit(x, p, lam, mu):
     M[0][0] = M[0][0] + rho[4]
     M[1][1] = M[1][1] + rho[5]
 
-    # basis Jacobian rows (over vi, vj, ti, tj)
+    # basis Jacobian rows (over vi, vj, ti, tj). Structure exploited below:
+    # columns (variables) have <=3 structural nonzeros and column 3 is the
+    # negative of column 2 over the basis rows, so T's column 3 and H4's
+    # last row/col come for free — ~40% fewer madds than the dense
+    # M @ Ju / Ju^T T products.
     zero = jnp.zeros_like(vi)
+    jv0 = 2.0 * vi          # Ju[0][0]
+    jv1 = 2.0 * vj          # Ju[1][1]
+    jc0, jc1 = vj * c_, vi * c_   # Ju[2][0], Ju[2][1]
+    js0, js1 = vj * s_, vi * s_   # Ju[3][0], Ju[3][1]
     Ju = [
-        (2.0 * vi, zero, zero, zero),
-        (zero, 2.0 * vj, zero, zero),
-        (vj * c_, vi * c_, -u4, u4),
-        (vj * s_, vi * s_, u3, -u3),
+        (jv0, zero, zero, zero),
+        (zero, jv1, zero, zero),
+        (jc0, jc1, -u4, u4),
+        (js0, js1, u3, -u3),
     ]
-    # T = M @ Ju ; H4 = Ju^T T
-    T = [[sum(M[b][b2] * Ju[b2][i] for b2 in range(4)) for i in range(4)]
-         for b in range(4)]
-    H4 = [[sum(Ju[b][i] * T[b][j] for b in range(4)) for j in range(4)]
-          for i in range(4)]
+    # T = M @ Ju with the sparse columns (T[b][3] = -T[b][2])
+    T = [None] * 4
+    for b in range(4):
+        t0 = M[b][0] * jv0 + M[b][2] * jc0 + M[b][3] * js0
+        t1 = M[b][1] * jv1 + M[b][2] * jc1 + M[b][3] * js1
+        t2 = -M[b][2] * u4 + M[b][3] * u3
+        T[b] = (t0, t1, t2)
+    # H4 = Ju^T T, upper triangle only; column sparsity of Ju and
+    # H4[i][3] = -H4[i][2] (Gauss-Newton part)
+    H4 = [[None] * 4 for _ in range(4)]
+    for j in range(3):
+        H4[0][j] = jv0 * T[0][j] + jc0 * T[2][j] + js0 * T[3][j]
+        H4[1][j] = jv1 * T[1][j] + jc1 * T[2][j] + js1 * T[3][j]
+        H4[2][j] = -u4 * T[2][j] + u3 * T[3][j]
+    H4[0][3] = -H4[0][2]
+    H4[1][3] = -H4[1][2]
+    H4[2][3] = -H4[2][2]
+    H4[3][3] = H4[2][2]
+    # symmetrize the computed block (entries above were J^T T columns)
+    H4[1][0] = H4[0][1]
+    H4[2][0] = H4[0][2]
+    H4[2][1] = H4[1][2]
+    H4[3][0] = H4[0][3]
+    H4[3][1] = H4[1][3]
+    H4[3][2] = H4[2][3]
 
     # curvature of the basis: sum_b a_b grad^2 u_b
     H4[0][0] = H4[0][0] + 2.0 * a[0]
