@@ -332,6 +332,12 @@ def branch_update(
     else:
         _solver = tron_alm_batched
         extra = {}
+    # "auto": reference-faithful while-loop trial searches on every backend
+    # (capped unrolls measured faster in steady state but cost convergence
+    # on sensitive fp32 cases; see Parameters.tron_trial_unroll)
+    trial_unroll = par.tron_trial_unroll
+    if trial_unroll == "auto":
+        trial_unroll = None
 
     if use_linelimit:
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
@@ -342,7 +348,7 @@ def branch_update(
             mu_max=mu_max, max_minor=par.tron_max_minor,
             max_auglag=par.max_auglag,
             fgh_fn=branch_fgh_linelimit,
-            trial_unroll=par.tron_trial_unroll,
+            trial_unroll=trial_unroll,
             alm_delta_fn=branch_alm_delta,
         )
         B = x0.shape[1]
@@ -439,7 +445,7 @@ def branch_update(
             branch_obj_polar, x0, xl, xu, params,
             gtol=gtol, frtol=frtol,
             max_minor=par.tron_max_minor, step_cap=par.tron_step_cap,
-            active0=active0, trial_unroll=par.tron_trial_unroll,
+            active0=active0, trial_unroll=trial_unroll,
         )
         new_alm = alm
         x = res.x

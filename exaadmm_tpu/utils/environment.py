@@ -69,9 +69,12 @@ class Parameters:
 
     # fixed-trip unrolled trial searches inside the TRON step
     # (k_interp, k_extrap, k_prsrch); None = reference while-loop searches.
-    # (22, 10, 20) is bit-identical to None and faster inside the Pallas
-    # kernel; smaller caps are a tuned inexactness trade (see ops/tron.py).
-    tron_trial_unroll: tuple[int, int, int] | None = None
+    # (22, 10, 20) is bit-identical to None; smaller caps looked attractive
+    # in steady-state it/s A/Bs (~+8%) but a capped projected search that
+    # fails changes trajectories enough to cost convergence on sensitive
+    # fp32 cases (synthetic 1354-bus regression) — keep None.
+    # "auto" currently resolves to None on every backend.
+    tron_trial_unroll: tuple[int, int, int] | str | None = "auto"
 
     # difficulty-sort lines between outer iterations so hard lanes cluster
     # into the same Pallas tiles and easy tiles exit their lockstep loop
@@ -88,9 +91,10 @@ class Parameters:
     # independent of tile composition); only stragglers beyond the tail
     # capacity would keep their pass-1 iterate. Applied when the line batch
     # spans enough tiles to matter. branch_tail_tiles=None sizes the tail
-    # to 1/8 of the batch (observed straggler rate ~4%, 3x headroom).
+    # to 1/8 of the batch (steady-state straggler rate ~5% at cap 3, ~2.6x
+    # headroom; the driver's tail_overflow stat flags capacity misses).
     branch_two_pass: bool = True
-    branch_pass1_cap: int = 6
+    branch_pass1_cap: int = 3
     branch_tail_tiles: int | None = None
 
     # branch solver execution backend: "xla" (pure-JAX while loop over the

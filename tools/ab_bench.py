@@ -27,6 +27,8 @@ def parse_val(v):
         return None
     if v in ("True", "False"):
         return v == "True"
+    if "+" in v:  # tuple syntax: 22+10+20
+        return tuple(parse_val(x) for x in v.split("+"))
     try:
         return int(v)
     except ValueError:
