@@ -8,6 +8,11 @@ restores into a structurally identical template (e.g. from
 
     save_solution("ckpt.npz", sol, meta={"outer": info.outer})
     sol, meta = load_solution("ckpt.npz", init_solution(model, rho_pq, rho_va))
+
+For sharded multi-chip state, :func:`save_solution_orbax` /
+:func:`load_solution_orbax` delegate to orbax (async-capable, writes
+per-shard without gathering to one host; restores with the template's
+shardings applied).
 """
 
 from __future__ import annotations
@@ -62,3 +67,56 @@ def load_solution(path: str, template):
             raise ValueError(f"leaf shape mismatch: {s.shape} vs {t.shape}")
         out.append(jnp.asarray(s, t.dtype))
     return jax.tree_util.tree_unflatten(treedef, out), meta
+
+
+# --- orbax backend (multi-host / sharded state) -----------------------------
+
+def save_solution_orbax(path: str, sol, meta: dict | None = None) -> None:
+    """Save a solution pytree with orbax (directory checkpoint).
+
+    Unlike the npz path this never gathers to one host: each process writes
+    its own shards, so it scales to multi-host meshes. ``meta`` (small JSON
+    scalars) is stored alongside.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(
+        ocp.CompositeCheckpointHandler()
+    ) as ckptr:
+        ckptr.save(
+            path,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(sol),
+                meta=ocp.args.JsonSave(meta or {}),
+            ),
+            force=True,
+        )
+
+
+def load_solution_orbax(path: str, template):
+    """Restore an orbax checkpoint into ``template``'s structure.
+
+    The template's leaves supply dtypes and (when they are jax.Arrays with a
+    sharding) the target shardings, so a checkpoint written from an 8-chip
+    mesh restores directly into another mesh's layout.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.Checkpointer(
+        ocp.CompositeCheckpointHandler()
+    ) as ckptr:
+        out = ckptr.restore(
+            path,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    return out["state"], dict(out["meta"])

@@ -84,15 +84,20 @@ class Parameters:
     sort_lines: bool = True
 
     # two-pass branch solve: pass 1 runs every tile with a small lockstep
-    # budget (branch_pass1_cap); the unfinished stragglers (p99 of lanes
-    # finish in <= ~7 steps) are then compacted into branch_tail_tiles
-    # Pallas tiles and re-solved from scratch with the full budget. Per-lane
-    # results are identical to the single-pass solve (lane trajectories are
-    # independent of tile composition); only stragglers beyond the tail
-    # capacity would keep their pass-1 iterate. Applied when the line batch
-    # spans enough tiles to matter. branch_tail_tiles=None sizes the tail
-    # to 1/8 of the batch (steady-state straggler rate ~5% at cap 3, ~2.6x
-    # headroom; the driver's tail_overflow stat flags capacity misses).
+    # budget (branch_pass1_cap); the unfinished stragglers are then compacted
+    # into branch_tail_tiles Pallas tiles and re-solved from scratch with the
+    # full budget. A re-solved lane's trajectory is identical to the
+    # single-pass solve (trajectories are independent of tile composition);
+    # stragglers BEYOND the tail capacity keep their pass-1 iterate and
+    # warm-start the next ADMM iteration — additional deliberate inexactness
+    # on top of tron_step_cap. In steady state (warm multipliers, p99 of
+    # lanes finish in <= ~7 steps) the ~1/8 default tail absorbs everyone
+    # and the solve is two-pass-exact; during cold-start iterations many
+    # lanes overflow and the trajectory is a budgeted approximation (the
+    # update_x stat `tail_overflow` counts them; convergence regressions in
+    # tests/ guard the quality). Applied when the line batch spans enough
+    # tiles to matter (B >= 4 * tail capacity). branch_tail_tiles=None sizes
+    # the tail to 1/8 of the batch.
     branch_two_pass: bool = True
     branch_pass1_cap: int = 3
     branch_tail_tiles: int | None = None

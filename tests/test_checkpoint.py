@@ -30,3 +30,23 @@ def test_checkpoint_roundtrip_and_resume(case9_path, tmp_path):
     solF, infoF = admm_two_level(model2, restored)
     assert infoF.status == "Solved"
     assert 5296.0 <= infoF.objval <= 5304.5
+
+
+def test_checkpoint_orbax_roundtrip(case9_path, tmp_path):
+    from exaadmm_tpu.utils.checkpoint import (load_solution_orbax,
+                                              save_solution_orbax)
+
+    data = opf_loaddata(case9_path, verbose=0)
+    par = Parameters(verbose=0, outer_iterlim=2)
+    model = M.build_model(data, par)
+    sol0 = M.init_solution(model, 4e2, 4e4)
+    sol2, info2 = admm_two_level(model, sol0)
+
+    p = str(tmp_path / "ckpt_orbax")
+    save_solution_orbax(p, sol2, meta={"outer": info2.outer})
+    restored, meta = load_solution_orbax(p, M.init_solution(model, 4e2, 4e4))
+    assert meta["outer"] == 2
+    np.testing.assert_array_equal(np.asarray(restored.u.line),
+                                  np.asarray(sol2.u.line))
+    np.testing.assert_array_equal(np.asarray(restored.branch_alm.mu),
+                                  np.asarray(sol2.branch_alm.mu))
