@@ -41,6 +41,12 @@ class InnerCarry:
     auglag: jnp.ndarray
     avg_auglag_it: jnp.ndarray
     avg_minor_it: jnp.ndarray
+    # solver-health scalars of the LAST inner iteration: worst line-limit
+    # constraint violation left by the branch ALM (the reference warns per
+    # line on ALM non-convergence, acopf_auglag_linelimit_kernel_cpu.jl:
+    # 150-153) and the number of two-pass stragglers beyond tail capacity
+    max_cviol: jnp.ndarray
+    tail_overflow: jnp.ndarray  # i32
     # line-sorting state (Parameters.sort_lines): per-lane lockstep steps of
     # the LAST inner iteration (the difficulty signal) and the composed
     # current-position -> original-line-id map. Models without per-lane
@@ -73,6 +79,8 @@ def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
         auglag=scalars["auglag"],
         avg_auglag_it=stats["avg_auglag_it"],
         avg_minor_it=stats["avg_minor_it"],
+        max_cviol=stats.get("max_cviol", carry.max_cviol),
+        tail_overflow=stats.get("tail_overflow", carry.tail_overflow),
         lane_steps=stats.get("lane_steps", carry.lane_steps),
         line_ids=carry.line_ids,
     )
@@ -150,6 +158,8 @@ def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
         auglag=jnp.asarray(0.0, dt),
         avg_auglag_it=jnp.asarray(0.0, dt),
         avg_minor_it=jnp.asarray(0.0, dt),
+        max_cviol=jnp.asarray(0.0, dt),
+        tail_overflow=jnp.zeros((), jnp.int32),
         lane_steps=lane_steps,
         line_ids=line_ids,
     )
@@ -177,6 +187,8 @@ class OuterCarry:
     dualres: jnp.ndarray
     objval: jnp.ndarray
     auglag: jnp.ndarray
+    max_cviol: jnp.ndarray
+    tail_overflow: jnp.ndarray  # i32
     lane_steps: jnp.ndarray
     line_ids: jnp.ndarray
 
@@ -248,6 +260,7 @@ def _fused_outer_while(model, sorting, sqrt_d, par,
             norm_z_prev=c.norm_z, norm_z=ic.norm_z,
             mismatch=ic.mismatch, primres=ic.primres,
             dualres=ic.dualres, objval=ic.objval, auglag=ic.auglag,
+            max_cviol=ic.max_cviol, tail_overflow=ic.tail_overflow,
             lane_steps=ic.lane_steps, line_ids=ic.line_ids,
         )
 
@@ -264,6 +277,8 @@ def _fused_outer_while(model, sorting, sqrt_d, par,
         dualres=jnp.asarray(jnp.inf, dt),
         objval=jnp.asarray(0.0, dt),
         auglag=jnp.asarray(0.0, dt),
+        max_cviol=jnp.asarray(0.0, dt),
+        tail_overflow=jnp.zeros((), jnp.int32),
         lane_steps=jnp.zeros((nlp,), jnp.int32),
         line_ids=jnp.arange(nlp, dtype=jnp.int32),
     )
@@ -298,6 +313,8 @@ def admm_two_level_fused(model, sol: Solution,
     info.mismatch = float(out.mismatch)
     info.objval = float(out.objval)
     info.auglag = float(out.auglag)
+    info.max_cviol = float(out.max_cviol)
+    info.tail_overflow = int(out.tail_overflow)
     sqrt_d = float(model.nvar) ** 0.5
     info.eps_pri = sqrt_d / (2500.0 * max(info.outer, 1))
     info.status = ("Solved" if info.mismatch <= sqrt_d * par.outer_eps
@@ -374,6 +391,8 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
         info.mismatch = float(carry.mismatch)
         info.objval = float(carry.objval)
         info.auglag = float(carry.auglag)
+        info.max_cviol = float(carry.max_cviol)
+        info.tail_overflow = int(carry.tail_overflow)
         info.eps_pri = sqrt_d / (2500.0 * info.outer)
 
         if par.verbose > 0:

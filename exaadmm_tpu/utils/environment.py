@@ -97,7 +97,7 @@ class Parameters:
     # update_x stat `tail_overflow` counts them; convergence regressions in
     # tests/ guard the quality). Applied when the line batch spans enough
     # tiles to matter (B >= 4 * tail capacity). branch_tail_tiles=None sizes
-    # the tail to 1/8 of the batch.
+    # the tail to 1/16 of the batch.
     branch_two_pass: bool = True
     branch_pass1_cap: int = 3
     branch_tail_tiles: int | None = None
@@ -267,6 +267,10 @@ class IterationInformation:
     eps_pri: float = 0.0
     norm_z_curr: float = float("inf")
     norm_z_prev: float = float("inf")
+    # solver health (last inner iteration): worst branch line-limit
+    # constraint violation; two-pass stragglers beyond the tail capacity
+    max_cviol: float = 0.0
+    tail_overflow: int = 0
     # wall-clock accounting
     time_overall: float = 0.0
     time_x_update: float = 0.0

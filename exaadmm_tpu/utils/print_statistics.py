@@ -15,5 +15,10 @@ def print_statistics(info: IterationInformation, extra: dict | None = None):
     if info.cumul > 0:
         print(f"Time per iteration (secs) . . . . {info.time_overall / info.cumul:.4f}")
     print(f"Total time (secs) . . . . . . . . {info.time_overall:.2f}")
+    if info.max_cviol > 0.0:
+        print(f"Max line-limit violation  . . . . {info.max_cviol:.3e}")
+    if info.tail_overflow > 0:
+        print(f"Two-pass tail overflow (lines)  . {info.tail_overflow} "
+              f"(raise Parameters.branch_tail_tiles)")
     for k, v in (extra or {}).items():
         print(f"{k:<34}{v}")
