@@ -42,7 +42,11 @@ def main():
     # the timed unit is the fused production solver: OUTERS outer rounds x
     # INNER_ITERS inner iterations in ONE dispatch (lz/beta/sort between
     # inner loops included), continuing from a warmed-up mid-solve state
-    outers = int(os.environ.get("BENCH_OUTERS", 5))
+    # 25 outer rounds per dispatch: the axon tunnel costs ~23 ms per dispatch
+    # regardless of work, and the production path runs the WHOLE solve as one
+    # dispatch (thousands of iterations), so the timed unit amortizes it the
+    # same way (500 iters/dispatch -> <3% overhead share)
+    outers = int(os.environ.get("BENCH_OUTERS", 25))
     par = Parameters(verbose=0,
                      tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),

@@ -409,7 +409,8 @@ def branch_update(
             )
 
             tail_overflow = jnp.maximum(
-                jnp.sum(unfinished.astype(jnp.int32)) - tail_cap, 0)
+                jnp.sum(unfinished.astype(jnp.int32)) - tail_cap, 0
+            ).astype(jnp.int32)
 
             def out_pack(r):
                 return jnp.concatenate([

@@ -99,7 +99,9 @@ class Parameters:
     # tiles to matter (B >= 4 * tail capacity). branch_tail_tiles=None sizes
     # the tail to 1/16 of the batch.
     branch_two_pass: bool = True
-    branch_pass1_cap: int = 3
+    # measured at 9241 scale with the 1/16 tail: cap 2 beats 3 by ~12%
+    # steady-state and ~22% on full solves (see tools/solve_ab.py)
+    branch_pass1_cap: int = 2
     branch_tail_tiles: int | None = None
 
     # branch solver execution backend: "xla" (pure-JAX while loop over the
