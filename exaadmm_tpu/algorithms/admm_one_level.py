@@ -37,8 +37,58 @@ class OneLevelCarry:
     auglag: jnp.ndarray
 
 
-def admm_one_level(model, sol, info: IterationInformation | None = None):
-    """Run one-level ADMM fully on device; returns (sol, info)."""
+def _one_iteration(model, c: OneLevelCarry, axis_name=None) -> OneLevelCarry:
+    s = c.sol
+    it = c.it + 1
+    s, _ = model.update_x(s, it, axis_name=axis_name)
+    s = model.update_xbar(s, axis_name=axis_name)   # saves v_prev internally
+    s = model.update_l_single(s)
+    s, scalars = model.update_residual(s, 0.0, axis_name=axis_name)
+    return OneLevelCarry(
+        sol=s, it=it,
+        primres=scalars["primres"],
+        dualres=scalars["dualres"],
+        mismatch=scalars["mismatch"],
+        objval=scalars["objval"],
+        auglag=scalars["auglag"],
+    )
+
+
+def _carry0(sol, dtype) -> OneLevelCarry:
+    return OneLevelCarry(
+        sol=sol,
+        it=jnp.zeros((), jnp.int32),
+        primres=jnp.asarray(jnp.inf, dtype),
+        dualres=jnp.asarray(jnp.inf, dtype),
+        mismatch=jnp.asarray(jnp.inf, dtype),
+        objval=jnp.asarray(0.0, dtype),
+        auglag=jnp.asarray(0.0, dtype),
+    )
+
+
+def _one_level_while(model, sol, outer_tol, dual_tol, outer_iterlim,
+                     axis_name=None) -> OneLevelCarry:
+    """The whole one-level solve as a single while-loop (shared by the
+    single-device and the shard_map drivers)."""
+    dtype = sol.base.u.gen.dtype if hasattr(sol, "base") else sol.u.gen.dtype
+
+    def cond(c):
+        converged = (c.mismatch <= outer_tol) & (c.dualres <= dual_tol)
+        return (c.it < outer_iterlim) & ~converged
+
+    return lax.while_loop(
+        cond, lambda c: _one_iteration(model, c, axis_name=axis_name),
+        _carry0(sol, dtype))
+
+
+def admm_one_level(model, sol, info: IterationInformation | None = None,
+                   run=None):
+    """Run one-level ADMM fully on device; returns (sol, info).
+
+    ``run`` may be a pre-built sharded solver
+    (parallel.sharding.make_sharded_one_level); it receives the
+    reset solution and returns the final OneLevelCarry.
+    """
     par = model.par
     info = info or IterationInformation()
     sqrt_d = float(model.nvar) ** 0.5
@@ -52,52 +102,20 @@ def admm_one_level(model, sol, info: IterationInformation | None = None):
     sol = model.one_level_reset(sol)
 
     def one_iteration(c: OneLevelCarry) -> OneLevelCarry:
-        s = c.sol
-        it = c.it + 1
-        s, _ = model.update_x(s, it)
-        s = model.update_xbar(s)         # saves v_prev internally
-        s = model.update_l_single(s)
-        s, scalars = model.update_residual(s, 0.0)
-        return OneLevelCarry(
-            sol=s, it=it,
-            primres=scalars["primres"],
-            dualres=scalars["dualres"],
-            mismatch=scalars["mismatch"],
-            objval=scalars["objval"],
-            auglag=scalars["auglag"],
-        )
+        return _one_iteration(model, c)
 
-    @jax.jit
-    def run(sol):
-        c0 = OneLevelCarry(
-            sol=sol,
-            it=jnp.zeros((), jnp.int32),
-            primres=jnp.asarray(jnp.inf, dtype),
-            dualres=jnp.asarray(jnp.inf, dtype),
-            mismatch=jnp.asarray(jnp.inf, dtype),
-            objval=jnp.asarray(0.0, dtype),
-            auglag=jnp.asarray(0.0, dtype),
-        )
-
-        def cond(c):
-            converged = (c.mismatch <= outer_tol) & (c.dualres <= dual_tol)
-            return (c.it < outer_iterlim) & ~converged
-
-        return lax.while_loop(cond, one_iteration, c0)
+    external_run = run is not None
+    if run is None:
+        @jax.jit
+        def run(sol, dual_tol):
+            return _one_level_while(model, sol, outer_tol, dual_tol,
+                                    outer_iterlim)
 
     t0 = time.perf_counter()
-    if par.verbose > 0:
+    if par.verbose > 0 and not external_run:
         # host-stepped loop for visibility (one readback per iteration)
         step = jax.jit(one_iteration)
-        c = OneLevelCarry(
-            sol=sol,
-            it=jnp.zeros((), jnp.int32),
-            primres=jnp.asarray(jnp.inf, dtype),
-            dualres=jnp.asarray(jnp.inf, dtype),
-            mismatch=jnp.asarray(jnp.inf, dtype),
-            objval=jnp.asarray(0.0, dtype),
-            auglag=jnp.asarray(0.0, dtype),
-        )
+        c = _carry0(sol, dtype)
         print(f"{'Iter':>8} {'Objval':>12} {'AugLag':>12} {'PrimRes':>10} "
               f"{'PrimTol':>10} {'DualRes':>10} {'DualTol':>10}")
         while True:
@@ -112,7 +130,7 @@ def admm_one_level(model, sol, info: IterationInformation | None = None):
                       f"{outer_tol:>10.3e} {float(c.dualres):>10.3e} "
                       f"{dual_tol:>10.3e}")
     else:
-        c = run(sol)
+        c = run(sol, jnp.asarray(dual_tol, dtype))
         jax.block_until_ready(c)
 
     info.time_overall = time.perf_counter() - t0

@@ -43,12 +43,19 @@ def solve_qpsub(
     verbose: int = 1,
     onelevel: bool = True,
     dtype=None,
+    mesh=None,
+    pad_lines_to: int = 1,
 ) -> QpsubResult:
+    """Pass ``mesh`` (a 1-D jax.sharding.Mesh) to shard the line batch and
+    the per-line SQP data across devices (one-level solve in one shard_map
+    dispatch)."""
     if not onelevel:
         raise NotImplementedError(
             "two-level ADMM is not implemented in QPsub (matches reference)")
     dtype = dtype or _default_dtype()
     data = opf_loaddata(case, case_format=case_format, verbose=verbose)
+    if mesh is not None and pad_lines_to == 1:
+        pad_lines_to = int(mesh.devices.size)
 
     par = Parameters(
         outer_iterlim=outer_iterlim, inner_iterlim=inner_iterlim,
@@ -62,9 +69,14 @@ def solve_qpsub(
         c1=c1, c2=c2, Pd=Pd, Qd=Qd,
     )
     model = Q.build_model(data, par, qp_inputs, use_linelimit=use_linelimit,
-                          tight_factor=tight_factor, dtype=dtype)
+                          tight_factor=tight_factor,
+                          pad_lines_to=pad_lines_to, dtype=dtype)
     sol = Q.init_solution(model, rho_pq, rho_va)
-    sol, info = admm_one_level(model, sol)
+    run = None
+    if mesh is not None:
+        from ..parallel.sharding import make_sharded_one_level
+        run = make_sharded_one_level(model, mesh)
+    sol, info = admm_one_level(model, sol, run=run)
     sqp_out = Q.poststep(model, sol)
     return QpsubResult(data=data, model=model, solution=sol, info=info,
                        sqp_out=sqp_out)

@@ -89,6 +89,10 @@ class ModelQpsub:
         nl = gd.nline_padded
         if self.line_res is None:
             self.line_res = jnp.zeros((nl, 4), self.Hs.dtype)
+        if self.C is not None:
+            # derived arrays supplied directly (dataclasses.replace inside a
+            # sharded trace, where the numpy precompute below cannot run)
+            return
         # supY in the 8-dim ExaTron ordering (eval_A_auglag_..., rows pij qij
         # pji qji over [t_ij t_ji wijR wijI wi wj thi thj])
         z = np.zeros(nl)
@@ -157,6 +161,24 @@ class ModelQpsub:
     def nvar(self) -> int:
         return 2 * self.grid.ngen + 8 * self.grid.nline
 
+    # ---- sharding hooks ---------------------------------------------------
+    # line-indexed model arrays (leading nline_padded axis), sharded with the
+    # line partition by parallel.sharding.make_sharded_one_level
+    LINE_FIELDS = ("Hs", "LH_1h", "RH_1h", "LH_1i", "RH_1i", "LH_1j", "RH_1j",
+                   "LH_1k", "RH_1k", "ls", "us", "line_res",
+                   "C", "dvec", "supY8", "vec_1j", "vec_1k")
+
+    def solution_spec(self, axis):
+        from jax.sharding import PartitionSpec as P
+
+        from ...parallel.sharding import blocks_specs, solution_specs
+        return SolutionQpsub(
+            base=solution_specs(axis),
+            sqp_line=P(axis),
+            v_prev=blocks_specs(axis),
+            alm_lam_j=P(axis), alm_lam_k=P(axis), alm_mu=P(axis),
+        )
+
     # ---- hook protocol (one-level) --------------------------------------
     def rho_norm(self, sol: SolutionQpsub):
         from ...utils.environment import blocks_norm
@@ -169,7 +191,6 @@ class ModelQpsub:
 
     def update_x(self, sol: SolutionQpsub, inner_iter, axis_name=None,
                  pg_bounds=None):
-        assert axis_name is None
         gd = self.grid
         b = sol.base
         u_gen = kernels.generator_update(
@@ -179,7 +200,8 @@ class ModelQpsub:
         )
 
         # ---- batched reduced branch QP + ALM on 1j/1k ----
-        nl = gd.nline_padded
+        # local line count (differs from gd.nline_padded under shard_map)
+        nl = b.u.line.shape[0]
         dt = b.u.gen.dtype
         lL, rL = b.l.line, b.rho.line
         vz = b.v.line - b.z.line
@@ -268,9 +290,15 @@ class ModelQpsub:
             sqp_line=jnp.where(active0[:, None], sqp_line, sol.sqp_line),
             alm_lam_j=res.lam[0], alm_lam_k=res.lam[1], alm_mu=res.mu,
         )
+        sums = jnp.stack([
+            jnp.sum(res.alm_iters * gd.line_mask),
+            jnp.sum(res.minor_iters * gd.line_mask),
+        ])
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
         stats = {
-            "avg_auglag_it": jnp.sum(res.alm_iters * gd.line_mask) / gd.nline,
-            "avg_minor_it": jnp.sum(res.minor_iters * gd.line_mask) / gd.nline,
+            "avg_auglag_it": sums[0] / gd.nline,
+            "avg_minor_it": sums[1] / gd.nline,
         }
         return new, stats
 
@@ -297,22 +325,28 @@ class ModelQpsub:
         rd = jax.tree.map(lambda rr, vv, vp: rr * (vv - vp),
                           b.rho, b.v, sol.v_prev)
 
-        def nrm(blk):
-            return jnp.sqrt(jnp.sum(blk.gen**2)
-                            + jnp.sum(blk.line**2 * m[:, None]))
+        # line-block partial sums, one stacked psum under shard_map
+        line_parts = jnp.stack([
+            jnp.sum(rp.line**2 * m[:, None]),
+            jnp.sum(rd.line**2 * m[:, None]),
+            0.5 * jnp.sum(jnp.einsum("li,lij,lj->l",
+                                     sol.sqp_line, self.Hs, sol.sqp_line) * m),
+            jnp.sum(b.l.line * rp.line * m[:, None])
+            + 0.5 * jnp.sum(b.rho.line * rp.line**2 * m[:, None]),
+        ])
+        if axis_name is not None:
+            line_parts = jax.lax.psum(line_parts, axis_name)
 
-        primres = nrm(rp)
-        dualres = nrm(rd)
+        primres = jnp.sqrt(jnp.sum(rp.gen**2) + line_parts[0])
+        dualres = jnp.sqrt(jnp.sum(rd.gen**2) + line_parts[1])
 
         pg = gd.baseMVA * b.u.gen[:, 0]
-        objval = jnp.sum(self.c2 * pg**2 + self.c1 * pg)
-        objval = objval + 0.5 * jnp.sum(
-            jnp.einsum("li,lij,lj->l", sol.sqp_line, self.Hs, sol.sqp_line) * m)
+        objval = jnp.sum(self.c2 * pg**2 + self.c1 * pg) + line_parts[2]
 
         auglag = objval + (
-            jnp.sum(b.l.gen * rp.gen) + jnp.sum(b.l.line * rp.line * m[:, None])
-            + 0.5 * (jnp.sum(b.rho.gen * rp.gen**2)
-                     + jnp.sum(b.rho.line * rp.line**2 * m[:, None])))
+            jnp.sum(b.l.gen * rp.gen)
+            + 0.5 * jnp.sum(b.rho.gen * rp.gen**2)
+            + line_parts[3])
 
         scalars = {
             "primres": primres, "dualres": dualres, "mismatch": primres,
@@ -323,19 +357,37 @@ class ModelQpsub:
 
 def build_model(data_or_grid, par: Parameters, qp_inputs: dict, *,
                 use_linelimit: bool = True, tight_factor: float = 1.0,
-                dtype=jnp.float64) -> ModelQpsub:
+                pad_lines_to: int = 1, dtype=jnp.float64) -> ModelQpsub:
     """qp_inputs: Hs (6nline,6) or (nline,6,6), LH_1h, RH_1h, LH_1i, RH_1i,
     LH_1j, RH_1j, LH_1k, RH_1k, ls, us, pgmax, pgmin, qgmax, qgmin, c1, c2,
-    Pd, Qd (reference solve_qpsub positional argument list)."""
+    Pd, Qd (reference solve_qpsub positional argument list).
+
+    ``pad_lines_to``: pad the line batch to a multiple (mesh size) — the
+    reference's MPI padding (qpsub_model.jl:139-142); padded lanes get inert
+    well-conditioned QP data and are masked out everywhere."""
     if isinstance(data_or_grid, GridData):
         gd = data_or_grid
     else:
         gd = build_grid_data(data_or_grid, tight_factor=tight_factor,
-                             dtype=dtype)
+                             pad_lines_to=pad_lines_to, dtype=dtype)
     q = {k: np.asarray(v, np.float64) for k, v in qp_inputs.items()}
     Hs = q["Hs"]
     if Hs.ndim == 2:
         Hs = Hs.reshape(gd.nline, 6, 6)
+    npad = gd.nline_padded - gd.nline
+    if npad > 0:
+        def pad(a, fill=0.0):
+            w = [(0, npad)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, w, constant_values=fill)
+
+        Hs = np.concatenate(
+            [Hs, np.tile(np.eye(6)[None], (npad, 1, 1))], axis=0)
+        # identity 2x2 elimination rows; zero constraint rows; unit box
+        q["LH_1h"] = pad(q["LH_1h"]); q["LH_1h"][gd.nline:, 0] = 1.0
+        q["LH_1i"] = pad(q["LH_1i"]); q["LH_1i"][gd.nline:, 1] = 1.0
+        for k in ("RH_1h", "RH_1i", "LH_1j", "RH_1j", "LH_1k", "RH_1k", "ls"):
+            q[k] = pad(q[k])
+        q["us"] = pad(q["us"], 1.0)
     obj_scale = par.obj_scale
     f = lambda a: jnp.asarray(a, dtype)  # noqa: E731
     return ModelQpsub(

@@ -156,6 +156,59 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
     return run_inner
 
 
+def make_sharded_one_level(model, mesh: Mesh, axis: str = AXIS):
+    """Sharded one-level ADMM (qpsub): the whole solve as one shard_map
+    dispatch, lines + the per-line SQP inputs partitioned over the mesh.
+
+    Completes the reference's MPI scaffolding for qpsub (line padding at
+    qpsub_model.jl:139-142, no collectives upstream). The model must list its
+    line-indexed arrays in ``LINE_FIELDS`` and provide ``solution_spec``.
+
+    Returns ``run(sol, dual_tol) -> OneLevelCarry`` (pass the reset solution;
+    admm_one_level does this when given ``run=``).
+    """
+    from jax.sharding import PartitionSpec as P  # noqa: F811 (local alias)
+
+    from ..algorithms.admm_one_level import OneLevelCarry, _one_level_while
+
+    gd = model.grid
+    par = model.par
+    assert gd.nline_padded % mesh.devices.size == 0, (
+        f"nline_padded={gd.nline_padded} not divisible by mesh size "
+        f"{mesh.devices.size}; build the model with pad_lines_to=n_devices"
+    )
+    sqrt_d = float(model.nvar) ** 0.5
+    outer_tol = sqrt_d * par.outer_eps
+
+    sol_sp = model.solution_spec(axis)
+    line_fields = model.LINE_FIELDS
+    line_arrs = {f: getattr(model, f) for f in line_fields}
+    arrs_sp = {f: P(axis) for f in line_fields}
+    carry_sp = OneLevelCarry(
+        sol=sol_sp, it=P(), primres=P(), dualres=P(), mismatch=P(),
+        objval=P(), auglag=P(),
+    )
+
+    def solve(gd_local, arrs, sol, dual_tol):
+        model_local = dataclasses.replace(model, grid=gd_local, **arrs)
+        return _one_level_while(model_local, sol, outer_tol, dual_tol,
+                                par.outer_iterlim, axis_name=axis)
+
+    sharded = jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(grid_specs(gd, axis), arrs_sp, sol_sp, P()),
+        out_specs=carry_sp,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(sol, dual_tol):
+        return sharded(gd, line_arrs, sol, dual_tol)
+
+    return run
+
+
 def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
     """Sharded counterpart of admm_two_level.make_fused_solver: the WHOLE
     two-level solve (outer + inner loops, lz updates, beta escalation) as a

@@ -167,3 +167,32 @@ def test_qpsub_solve(case9_path, qp_inputs):
     assert res.sqp_out["dual_infeas"].shape == (3 + 6 * 9,)
     assert res.sqp_out["lambda"].shape == (4, 9)
     assert np.all(res.sqp_out["lambda"][2:] <= 1e-12)
+
+
+def test_qpsub_sharded_solve(case9_path, qp_inputs):
+    """Sharded one-level solve (lines + per-line SQP data partitioned over an
+    8-device mesh) converges to the reference objective. The psum'd residual
+    reductions reassociate, so iteration counts may drift slightly from the
+    single-device solve; the converged objective must match."""
+    from exaadmm_tpu.interface.solve_qpsub import solve_qpsub
+    from exaadmm_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(8)
+    res = solve_qpsub(
+        case9_path,
+        qp_inputs["Hs"], qp_inputs["LH_1h"], qp_inputs["RH_1h"],
+        qp_inputs["LH_1i"], qp_inputs["RH_1i"],
+        qp_inputs["LH_1j"], qp_inputs["RH_1j"],
+        qp_inputs["LH_1k"], qp_inputs["RH_1k"],
+        qp_inputs["ls"], qp_inputs["us"],
+        qp_inputs["pgmax"], qp_inputs["pgmin"],
+        qp_inputs["qgmax"], qp_inputs["qgmin"],
+        qp_inputs["c1"], qp_inputs["c2"], qp_inputs["Pd"], qp_inputs["Qd"],
+        1e5,
+        outer_iterlim=10000, inner_iterlim=1, scale=1e-4, obj_scale=1.0,
+        rho_pq=4000.0, rho_va=4000.0, verbose=0, outer_eps=2e-6,
+        onelevel=True, mesh=mesh,
+    )
+    assert res.info.status == "Solved"
+    assert res.info.objval == pytest.approx(-21.92744641968529, abs=1e-3)
+    assert res.model.grid.nline_padded % 8 == 0
