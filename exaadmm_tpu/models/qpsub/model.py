@@ -76,6 +76,9 @@ class ModelQpsub:
     Pd: jnp.ndarray          # residual loads (qpsub_Pd/Qd)
     Qd: jnp.ndarray
     line_res: jnp.ndarray | None = None  # (nline, 4) flow residuals
+    # use_linelimit=False drops the 1j/1k slack rows and their ALM loop —
+    # the reference's n=4 branch kernel (qpsub_model.jl:135)
+    use_linelimit: bool = True
 
     # derived (filled in __post_init__)
     C: jnp.ndarray | None = None       # (nline, 8, 6) elimination lift
@@ -255,14 +258,20 @@ class ModelQpsub:
 
         big = jnp.full((nl,), 200000.0, dt)
         zerov = jnp.zeros((nl,), dt)
+        # Without line limits the slack vars t_ij/t_ji are pinned at 0 and the
+        # 1j/1k ALM never runs — equivalent to the reference's 4-var kernel.
+        t_hi = big if self.use_linelimit else zerov
         xl = jnp.concatenate([zerov[None], zerov[None], self.ls[:, 2:].T])
-        xu = jnp.concatenate([big[None], big[None], self.us[:, 2:].T])
+        xu = jnp.concatenate([t_hi[None], t_hi[None], self.us[:, 2:].T])
         x0 = jnp.concatenate([zerov[None], zerov[None], sol.sqp_line[:, 2:].T])
         x0 = jnp.clip(x0, xl, xu)
 
         eps = float(jnp.finfo(dt).eps)
         mu0 = jnp.where(inner_iter <= 1, jnp.full((nl,), 10.0, dt), sol.alm_mu)
         lam0 = jnp.stack([sol.alm_lam_j, sol.alm_lam_k])
+        if not self.use_linelimit:
+            mu0 = jnp.zeros_like(mu0)
+            lam0 = jnp.zeros_like(lam0)
         active0 = gd.line_mask > 0.5
         if self.par.branch_backend == "pallas" and dt == jnp.float32:
             from ...ops.tron_pallas import tron_alm_batched_pallas as _solver
@@ -275,7 +284,8 @@ class ModelQpsub:
             frtol=max(self.par.tron_frtol, 10 * eps),
             ctol=max(self.par.alm_ctol, 300 * eps),
             mu_max=self.par.mu_max, max_minor=self.par.tron_max_minor,
-            max_auglag=self.par.max_auglag, active0=active0,
+            max_auglag=self.par.max_auglag if self.use_linelimit else 1,
+            active0=active0,
         )
         x = res.x                                    # (6, B)
         y = lift(x, params)                          # (8, B)
@@ -402,6 +412,7 @@ def build_model(data_or_grid, par: Parameters, qp_inputs: dict, *,
         pgmin=f(q["pgmin"]), pgmax=f(q["pgmax"]),
         qgmin=f(q["qgmin"]), qgmax=f(q["qgmax"]),
         Pd=f(q["Pd"]), Qd=f(q["Qd"]),
+        use_linelimit=use_linelimit,
     )
 
 
@@ -523,22 +534,25 @@ def poststep(model: ModelQpsub, sol: SolutionQpsub):
     LH_1i = np.asarray(model.LH_1i)[:nl]
     Yd = {k: np.asarray(getattr(gd, k))[:nl]
           for k in ("YftR", "YftI", "YtfR", "YtfI")}
+    # Batched closed-form over all lines (one dispatch; the reference loops
+    # per line on the host, qpsub_auglag_Ab_...red_cpu.jl:139-156).
+    pij, qij, pji, qji = (u_line[:, k] for k in range(4))
+    tmp14_i = np.stack([2 * pij * Yd["YftR"] - 2 * qij * Yd["YftI"],
+                        2 * pij * Yd["YftI"] + 2 * qij * Yd["YftR"]], axis=1)
+    tmp14_h = np.stack([2 * pji * Yd["YtfR"] - 2 * qji * Yd["YtfI"],
+                        -2 * pji * Yd["YtfI"] - 2 * qji * Yd["YtfR"]], axis=1)
+    rhs = (trg[:, :1] * tmp14_i + trg[:, 1:2] * tmp14_h
+           + np.einsum("lij,lj->li", Hs[:, :2, :], sqp)
+           + np.asarray(b_br)[:nl, :2])                       # (nl, 2)
+    # inv([[h0, i0], [h1, i1]]) applied to rhs, closed form
+    a, bb = LH_1h[:, 0], LH_1i[:, 0]
+    c, dd = LH_1h[:, 1], LH_1i[:, 1]
+    det = a * dd - bb * c
     lam = np.zeros((4, nl))
-    for l in range(nl):
-        tmpH = np.linalg.inv(np.array([[LH_1h[l, 0], LH_1i[l, 0]],
-                                       [LH_1h[l, 1], LH_1i[l, 1]]]))
-        pij, qij, pji, qji = u_line[l, :4]
-        tmp14_i = np.array([2 * pij * Yd["YftR"][l] + 2 * qij * (-Yd["YftI"][l]),
-                            2 * pij * Yd["YftI"][l] + 2 * qij * Yd["YftR"][l]])
-        tmp14_h = np.array([2 * pji * Yd["YtfR"][l] + 2 * qji * (-Yd["YtfI"][l]),
-                            2 * pji * (-Yd["YtfI"][l]) + 2 * qji * (-Yd["YtfR"][l])])
-        Hbr = Hs[l]
-        rhs = (trg[l, 0] * tmp14_i + trg[l, 1] * tmp14_h
-               + Hbr[:2, :2] @ sqp[l, :2] + Hbr[:2, 2:] @ sqp[l, 2:]
-               + np.asarray(b_br)[l, :2])
-        lam[0:2, l] = -tmpH @ rhs
-        lam[2, l] = -abs(trg[l, 0])
-        lam[3, l] = -abs(trg[l, 1])
+    lam[0] = -(dd * rhs[:, 0] - bb * rhs[:, 1]) / det
+    lam[1] = -(-c * rhs[:, 0] + a * rhs[:, 1]) / det
+    lam[2] = -np.abs(trg[:, 0])
+    lam[3] = -np.abs(trg[:, 1])
 
     return {
         "dpg_sol": dpg_sol, "dqg_sol": dqg_sol,

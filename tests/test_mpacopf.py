@@ -21,6 +21,12 @@ def test_case9_mpacopf_3periods(case9_path):
     assert res.info.status == "Solved"
     # three periods of roughly the case9 objective (loads 1.0/1.015/1.005)
     assert 3 * 5200.0 <= res.info.objval <= 3 * 5450.0
+    # own-trajectory pins (fp64 XLA CPU; reference pins its own cumul=729 /
+    # obj 15901.48, mpacopf_update_cpu.jl:431-434 — the warm start here keeps
+    # the joint solve at 4 outer / 12 cumul, see solve_mpacopf docstring)
+    assert res.info.outer == 4
+    assert res.info.cumul == 12
+    assert abs(res.info.objval - 16019.152412382537) / 16019.152412382537 < 1e-8
     # ramp feasibility at the reported tolerance
     assert res.err_ramp <= 1e-3
     # per-period generation tracks the per-period load ordering

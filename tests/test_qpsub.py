@@ -160,9 +160,11 @@ def test_qpsub_solve(case9_path, qp_inputs):
         onelevel=True,
     )
     assert res.info.status == "Solved"
-    # reference converges to -21.92744641968529 in 5107 iterations
-    assert res.info.objval == pytest.approx(-21.92744641968529, abs=1e-3)
-    assert 1000 <= res.info.outer <= 10000
+    # Full parity with the reference regression (qpsub_update_cpu.jl:235-238):
+    # one-level ADMM lands on the SAME iteration count and objective.
+    assert res.info.outer == 5107
+    assert res.info.cumul == 5107
+    assert res.info.objval == pytest.approx(-21.92744641968529, abs=1e-8)
     # SQP outputs populated
     assert res.sqp_out["dual_infeas"].shape == (3 + 6 * 9,)
     assert res.sqp_out["lambda"].shape == (4, 9)
