@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "(capabilities of exanauts/ExaAdmm.jl)")
     p.add_argument("case", help="MATPOWER .m case file")
     p.add_argument("--solver", default="acopf",
-                   choices=["acopf", "rolling", "mpacopf", "pf"])
+                   choices=["acopf", "rolling", "mpacopf", "pf", "qpsub",
+                            "mpec"])
     p.add_argument("--rho-pq", type=float, default=400.0)
     p.add_argument("--rho-va", type=float, default=40000.0)
     p.add_argument("--outer-iterlim", type=int, default=20)
@@ -61,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start-period", type=int, default=1)
     p.add_argument("--end-period", type=int, default=1)
     p.add_argument("--ramp-ratio", type=float, default=0.02)
+    # qpsub (SQP inner QP)
+    p.add_argument("--qp-inputs", default=None, metavar="NPZ",
+                   help="npz with the SQP QP arrays (Hs, LH_1h, ... Pd, Qd); "
+                        "omitted: linearize about the NR power-flow point")
+    p.add_argument("--initial-beta", type=float, default=1e5)
+    # mpec (primary control + storage complementarity)
+    p.add_argument("--storage-ratio", type=float, default=0.0)
+    p.add_argument("--droop", type=float, default=0.04)
     return p
 
 
@@ -117,6 +126,36 @@ def main(argv=None) -> int:
             args.case, args.load_prefix,
             start_period=args.start_period, end_period=args.end_period,
             ramp_ratio=args.ramp_ratio, **common)
+    elif args.solver == "qpsub":
+        from exaadmm_tpu.interface.solve_qpsub import solve_qpsub
+        if args.qp_inputs:
+            import numpy as np
+            qp = dict(np.load(args.qp_inputs))
+        else:
+            # one SQP linearization about the power-flow warm-start point
+            from exaadmm_tpu.models.qpsub.sqp import (SqpBasePoint,
+                                                      build_qp_inputs)
+            from exaadmm_tpu.utils.grid_data import build_grid_data
+            from exaadmm_tpu.utils.opfdata import opf_loaddata
+            data = opf_loaddata(args.case, verbose=args.verbose)
+            gd = build_grid_data(data, tight_factor=args.tight_factor)
+            base = SqpBasePoint.from_power_flow(data, verbose=args.verbose)
+            qp = build_qp_inputs(data, gd, base)
+        res = solve_qpsub(
+            args.case,
+            qp["Hs"], qp["LH_1h"], qp["RH_1h"], qp["LH_1i"], qp["RH_1i"],
+            qp["LH_1j"], qp["RH_1j"], qp["LH_1k"], qp["RH_1k"],
+            qp["ls"], qp["us"], qp["pgmax"], qp["pgmin"],
+            qp["qgmax"], qp["qgmin"], qp["c1"], qp["c2"],
+            qp["Pd"], qp["Qd"], args.initial_beta,
+            mesh=mesh, **common)
+    elif args.solver == "mpec":
+        from exaadmm_tpu.interface.solve_mpec import solve_acopf_mpec
+        mpec_kw = dict(common)
+        mpec_kw.pop("use_linelimit", None)
+        res = solve_acopf_mpec(
+            args.case, storage_ratio=args.storage_ratio, droop=args.droop,
+            use_linelimit=not args.no_linelimit, **mpec_kw)
     else:  # pf
         pf = X.solve_pf(args.case, verbose=args.verbose)
         print(json.dumps({"solver": "pf", "converged": bool(pf.converged),

@@ -67,15 +67,23 @@ def tron_alm_batched_pallas(
         active0 = jnp.ones((B,), bool)
     act_f = _pad_last(active0.astype(dtype), pad, 0.0)
 
+    # Mosaic requires operand layouts to agree with XLA's; XLA tiles rank-1
+    # f32[B] arrays with a B-dependent 1-D tile that need not match the grid
+    # block, so every rank-1 lane array is lifted to (1, B) — blocks become
+    # (1, tile), the standard (sublane, lane) layout.
+    def lift(a):
+        return a[None] if a.ndim == 1 else a
+
     leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaf_lifted = [leaf.ndim == 1 for leaf in leaves]
     tensor_inputs = [
         _pad_last(x0, pad, 0.5),
         _pad_last(xl, pad, 0.0),
         _pad_last(xu, pad, 1.0),
         _pad_last(lam0, pad, 0.0),
-        _pad_last(mu0, pad, 1.0),
-        act_f,
-    ] + [_pad_last(leaf, pad, 1.0) for leaf in leaves]
+        lift(_pad_last(mu0, pad, 1.0)),
+        lift(_pad_last(act_f, 0, 0.0)),
+    ] + [lift(_pad_last(leaf, pad, 1.0)) for leaf in leaves]
 
     def spec_for(a):
         block = a.shape[:-1] + (tile,)
@@ -91,10 +99,10 @@ def tron_alm_batched_pallas(
     out_shapes = (
         jax.ShapeDtypeStruct((n, ntiles * tile), dtype),      # x
         jax.ShapeDtypeStruct((max(ncon, 1), ntiles * tile), dtype),  # lam
-        jax.ShapeDtypeStruct((ntiles * tile,), dtype),        # mu
-        jax.ShapeDtypeStruct((ntiles * tile,), jnp.int32),    # minor
-        jax.ShapeDtypeStruct((ntiles * tile,), jnp.int32),    # alm
-        jax.ShapeDtypeStruct((ntiles * tile,), dtype),        # cviol
+        jax.ShapeDtypeStruct((1, ntiles * tile), dtype),      # mu
+        jax.ShapeDtypeStruct((1, ntiles * tile), jnp.int32),  # minor
+        jax.ShapeDtypeStruct((1, ntiles * tile), jnp.int32),  # alm
+        jax.ShapeDtypeStruct((1, ntiles * tile), dtype),      # cviol
     )
     out_specs = tuple(spec_for(jnp.zeros(s.shape, s.dtype)) for s in out_shapes)
 
@@ -102,21 +110,23 @@ def tron_alm_batched_pallas(
         (x0r, xlr, xur, lamr, mur, actr, *rest) = refs[: 6 + len(leaves)]
         (xo, lamo, muo, mino, almo, cvo) = refs[6 + len(leaves):]
         params_tile = jax.tree_util.tree_unflatten(
-            treedef, [r[...] for r in rest])
+            treedef,
+            [r[...][0] if was1d else r[...]
+             for r, was1d in zip(rest, leaf_lifted)])
         res = tron_alm_batched(
             obj_fn, cons_fn,
             x0r[...], xlr[...], xur[...], params_tile,
-            lamr[...], mur[...],
-            active0=actr[...] > 0.5,
+            lamr[...], mur[...][0],
+            active0=actr[...][0] > 0.5,
             fgh_fn=fgh_fn,
             **opts,
         )
         xo[...] = res.x
         lamo[...] = res.lam if ncon > 0 else jnp.zeros_like(lamo[...])
-        muo[...] = res.mu
-        mino[...] = res.minor_iters
-        almo[...] = res.alm_iters
-        cvo[...] = res.cviol
+        muo[...] = res.mu[None]
+        mino[...] = res.minor_iters[None]
+        almo[...] = res.alm_iters[None]
+        cvo[...] = res.cviol[None]
 
     outs = pl.pallas_call(
         kernel,
@@ -131,8 +141,8 @@ def tron_alm_batched_pallas(
     return TronALMResult(
         x=x[:, :B],
         lam=lam[:ncon, :B],
-        mu=mu[:B],
-        minor_iters=minor[:B],
-        alm_iters=alm[:B],
-        cviol=cviol[:B],
+        mu=mu[0, :B],
+        minor_iters=minor[0, :B],
+        alm_iters=alm[0, :B],
+        cviol=cviol[0, :B],
     )

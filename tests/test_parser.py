@@ -84,3 +84,44 @@ def test_synthetic_case_has_feasible_point():
     assert np.all(data.Pg0 <= data.pgmax + 1e-12)
     assert np.all(data.Pg0 >= data.pgmin - 1e-12)
     assert np.all(np.abs(data.Qg0) <= data.qgmax + 1e-12)
+
+
+def test_pglib_layout(case9_path):
+    """The pglib gen-table layout (10-column mpc.gen) parses to the same
+    OPFData as the 21-column matpower layout (reference get_field_names,
+    parse_matpower.jl:18-44), and solves identically."""
+    import os
+    from exaadmm_tpu import solve_acopf
+
+    pglib_path = os.path.join(os.path.dirname(case9_path), "case9_pglib.m")
+    d_mp = opf_loaddata(case9_path, verbose=0)
+    d_pg = opf_loaddata(pglib_path, case_format="pglib", verbose=0)
+    for f in ("Pd", "Qd", "pgmin", "pgmax", "qgmin", "qgmax", "c2", "c1",
+              "c0", "YffR", "YftI", "rateA"):
+        np.testing.assert_allclose(np.asarray(getattr(d_pg, f)),
+                                   np.asarray(getattr(d_mp, f)), err_msg=f)
+    res = solve_acopf(pglib_path, case_format="pglib", rho_pq=4e2,
+                      rho_va=4e4, outer_eps=2e-5, outer_iterlim=25, verbose=0)
+    assert res.info.status == "Solved"
+    assert 5296.0 <= res.info.objval <= 5304.5
+
+
+def test_case118_parses_and_balances():
+    """case118 transcription sanity: documented totals and a power flow that
+    reproduces the stored solved state (data/case118.m provenance check)."""
+    import os
+    from exaadmm_tpu.models.pf.newton import solve_pf_core
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "case118.m")
+    d = opf_loaddata(path, verbose=0)
+    assert (d.nbus, d.ngen, d.nline) == (118, 54, 186)
+    assert d.Pd.sum() == 4242.0          # documented case118 total load (MW)
+    assert d.Qd.sum() == 1438.0
+    res = solve_pf_core(d, d.Vm.copy(), d.Va.copy(), d.Pg0.copy(),
+                        d.Qg0.copy(), tol=1e-10)
+    assert res.converged and res.iterations <= 4
+    # stored Vm reproduced within its 3-decimal rounding everywhere; stored
+    # Va within the Q-limit-enforcement difference (<= 0.32 deg)
+    assert np.max(np.abs(res.vm - d.Vm)) < 1.5e-3
+    assert np.max(np.abs(res.va - d.Va)) < np.deg2rad(0.35)
