@@ -31,6 +31,7 @@ class MpacopfResult:
     solution: "mp_M.SolutionMpacopf"
     info: IterationInformation
     err_ramp: float
+    env: object | None = None     # AdmmEnv (load_specified, horizon_length)
 
 
 def solve_mpacopf(
@@ -114,5 +115,11 @@ def solve_mpacopf(
     if verbose > 0:
         print(f" ** mpacopf: {info.status} obj={info.objval:.6e} "
               f"err_ramp={err_ramp:.3e}")
+    from ..utils.environment import AdmmEnv
+    env = AdmmEnv(case=case, data=data, initial_rho_pq=rho_pq,
+                  initial_rho_va=rho_va, params=model.par,
+                  tight_factor=tight_factor, use_linelimit=use_linelimit,
+                  load_specified=True,
+                  horizon_length=end_period - start_period + 1)
     return MpacopfResult(data=data, model=model, solution=sol, info=info,
-                         err_ramp=err_ramp)
+                         err_ramp=err_ramp, env=env)

@@ -25,6 +25,7 @@ class MpecResult:
     info: IterationInformation
     freq_change: float
     vm_dev: float
+    env: object | None = None     # AdmmEnv (storage_ratio, droop)
 
 
 def make_storage(data: OPFData, storage_ratio: float, storage_charge_max: float,
@@ -65,10 +66,17 @@ def solve_acopf_mpec(
     droop: float = 0.04,
     verbose: int = 1,
     dtype=None,
+    mesh=None,
+    pad_lines_to: int = 1,
 ) -> MpecResult:
+    """Pass ``mesh`` (a 1-D jax.sharding.Mesh) to shard the line batch over
+    devices (whole solve in one shard_map dispatch)."""
     dtype = dtype or _default_dtype()
     data = opf_loaddata(case, case_format=case_format, verbose=verbose)
-    gd = build_grid_data(data, tight_factor=tight_factor, dtype=dtype)
+    if mesh is not None and pad_lines_to == 1:
+        pad_lines_to = int(mesh.devices.size)
+    gd = build_grid_data(data, tight_factor=tight_factor, dtype=dtype,
+                         pad_lines_to=pad_lines_to)
 
     par = Parameters(
         outer_iterlim=outer_iterlim, inner_iterlim=inner_iterlim,
@@ -86,7 +94,11 @@ def solve_acopf_mpec(
         use_linelimit=use_linelimit,
     )
     sol = MM.init_solution(model, rho_pq, rho_va)
-    if verbose > 0:
+    if mesh is not None:
+        from ..parallel.sharding import make_sharded_fused_solver
+        run = make_sharded_fused_solver(model, mesh)
+        sol, info = admm_two_level_fused(model, sol, run=run)
+    elif verbose > 0:
         sol, info = admm_two_level(model, sol)
     else:
         sol, info = admm_two_level_fused(model, sol)
@@ -97,5 +109,10 @@ def solve_acopf_mpec(
     if verbose > 0:
         print(f"Frequency change = {freq_change: 12.6e}")
         print(f"|VM-VM^sp|_infty = {vm_dev: 12.6e}")
+    from ..utils.environment import AdmmEnv
+    env = AdmmEnv(case=case, data=data, initial_rho_pq=rho_pq,
+                  initial_rho_va=rho_va, params=par,
+                  tight_factor=tight_factor, use_linelimit=use_linelimit,
+                  storage_ratio=storage_ratio, droop=droop)
     return MpecResult(data=data, model=model, solution=sol, info=info,
-                      freq_change=freq_change, vm_dev=vm_dev)
+                      freq_change=freq_change, vm_dev=vm_dev, env=env)

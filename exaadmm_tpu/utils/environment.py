@@ -119,7 +119,9 @@ class AdmmEnv:
     In the TPU build most of AdmmEnv's role is absorbed by function arguments
     and the model dataclasses; this record exists for API parity and for
     callers who want to carry the full context around: case name, parsed
-    data, rho seeds, feature flags, and the Parameters block.
+    data, rho seeds, feature flags, and the Parameters block. Each interface
+    fills its own flags: solve_mpacopf sets load_specified/horizon_length,
+    solve_acopf_mpec sets storage_ratio/droop.
     """
 
     case: str
