@@ -85,3 +85,45 @@ def test_mpacopf_sharded_matches_single(case9_path, cpu_mesh):
     assert iN.objval == pytest.approx(i1.objval, rel=1e-6)
     np.testing.assert_allclose(np.asarray(sN.acopf.u.gen),
                                np.asarray(s1.acopf.u.gen), atol=1e-7)
+
+
+def test_mpacopf_fused_sharded(case9_path, cpu_mesh):
+    """Whole mpacopf solve as ONE sharded dispatch (make_sharded_fused_solver
+    driving ModelMpacopf) — VERDICT r2 next-step #6."""
+    import os
+    import dataclasses
+    from exaadmm_tpu.algorithms.admm_two_level import (admm_two_level_fused)
+    from exaadmm_tpu.models.mpacopf import model as mp_M
+    from exaadmm_tpu.parallel.sharding import make_sharded_fused_solver
+    from exaadmm_tpu.utils.environment import IterationInformation, Parameters
+    from exaadmm_tpu.utils.grid_data import build_grid_data
+    from exaadmm_tpu.utils.opfdata import load_time_series, opf_loaddata
+
+    data = opf_loaddata(case9_path, verbose=0)
+    prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
+    pd_mat, qd_mat = load_time_series(prefix)
+
+    def build(pad):
+        par = Parameters(verbose=0, outer_iterlim=6, outer_eps=2e-4)
+        m = mp_M.build_model(data, par, pd_mat, qd_mat,
+                             start_period=1, end_period=3)
+        if pad > 1:
+            gd = build_grid_data(data, pad_lines_to=pad)
+            m = dataclasses.replace(m, grid=gd, grid_T=None)
+        return m
+
+    m1 = build(1)
+    s1 = mp_M.init_solution(m1, 4e2, 4e4)
+    s1, i1 = admm_two_level_fused(m1, s1, IterationInformation())
+
+    ndev = len(cpu_mesh.devices.flat)
+    mN = build(ndev)
+    sN = mp_M.init_solution(mN, 4e2, 4e4)
+    run = make_sharded_fused_solver(mN, cpu_mesh)
+    sN, iN = admm_two_level_fused(mN, sN, IterationInformation(), run=run)
+
+    assert iN.cumul == i1.cumul
+    assert iN.outer == i1.outer
+    assert iN.objval == pytest.approx(i1.objval, rel=1e-6)
+    np.testing.assert_allclose(np.asarray(sN.acopf.u.gen),
+                               np.asarray(s1.acopf.u.gen), atol=1e-7)
