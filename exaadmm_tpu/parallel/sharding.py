@@ -215,15 +215,19 @@ def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
     single jitted shard_map dispatch.
 
     All loop-break decisions derive from psum'd scalars, so every device
-    takes identical trip counts and the collectives stay aligned. Line
-    sorting is disabled in the sharded path (each device's own while_loop
-    already exits early on an easy shard).
+    takes identical trip counts and the collectives stay aligned. When the
+    model supports line sorting and ``par.sort_lines`` is on, each device
+    difficulty-sorts its OWN line shard between inner loops (local argsort,
+    no communication) — the per-shard version of the single-device sort, so
+    stragglers cluster into the same Pallas tiles within every shard; the
+    solution is restored to canonical local order before returning.
 
     Returns ``run(sol, beta0, Pd, Qd, pgmin, pgmax) -> OuterCarry``.
     """
     import dataclasses as _dc
 
-    from ..algorithms.admm_two_level import OuterCarry, _fused_outer_while
+    from ..algorithms.admm_two_level import (OuterCarry, _fused_outer_while,
+                                             restore_line_order)
 
     sqrt_d = float(model.nvar) ** 0.5
     gd = model.grid
@@ -245,6 +249,8 @@ def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
         lane_steps=P(axis), line_ids=P(axis),
     )
 
+    sorting = getattr(model, "supports_line_sort", False) and par.sort_lines
+
     def solve(gd_local, sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr):
         if hasattr(model, "local_model"):
             model_local = model.local_model(gd_local, pgmin_curr, pgmax_curr)
@@ -252,9 +258,12 @@ def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
             model_local = _dc.replace(
                 model, grid=gd_local,
                 pgmin_curr=pgmin_curr, pgmax_curr=pgmax_curr)
-        return _fused_outer_while(
-            model_local, False, sqrt_d, par,
+        out = _fused_outer_while(
+            model_local, sorting, sqrt_d, par,
             sol, beta0, Pd, Qd, pgmin_curr, pgmax_curr, axis_name=axis)
+        if sorting:
+            out = out.replace(sol=restore_line_order(out.sol, out.line_ids))
+        return out
 
     sharded = jax.shard_map(
         solve,
