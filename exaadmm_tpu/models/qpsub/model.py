@@ -285,6 +285,11 @@ class ModelQpsub:
             ctol=max(self.par.alm_ctol, 300 * eps),
             mu_max=self.par.mu_max, max_minor=self.par.tron_max_minor,
             max_auglag=self.par.max_auglag if self.use_linelimit else 1,
+            # lockstep budget: without it one straggler lane drives the whole
+            # batch to max_auglag x max_minor steps (same role as in the
+            # acopf branch kernel; ADMM re-enters next iteration with warm
+            # multipliers, so truncation self-corrects)
+            step_cap=self.par.tron_step_cap,
             active0=active0,
         )
         x = res.x                                    # (6, B)

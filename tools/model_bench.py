@@ -47,6 +47,7 @@ def bench_qpsub():
     qp = build_qp_inputs(data, gd, base)
 
     par = Parameters(verbose=0, scale=1e-4, outer_iterlim=iters, outer_eps=0.0,
+                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)))
     model = Q.build_model(gd, par, qp, dtype=dtype)
