@@ -48,9 +48,12 @@ def main():
     # same way (500 iters/dispatch -> <3% overhead share)
     outers = int(os.environ.get("BENCH_OUTERS", 25))
     par = Parameters(verbose=0,
-                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 24)),
+                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
                      branch_backend=os.environ.get("BENCH_BACKEND", "pallas"),
                      pallas_tile=int(os.environ.get("BENCH_TILE", 1024)),
+                     pallas_pass1_tile=(int(os.environ["BENCH_P1TILE"])
+                                        if "BENCH_P1TILE" in os.environ
+                                        else None),
                      sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
                      inner_iterlim=INNER_ITERS,
                      outer_iterlim=outers,

@@ -365,11 +365,14 @@ def branch_update(
                     and par.tron_step_cap > par.branch_pass1_cap
                     and B >= 4 * tail_cap)
         if two_pass:
+            extra1 = dict(extra)
+            if use_pallas and par.pallas_pass1_tile is not None:
+                extra1["tile"] = par.pallas_pass1_tile
             res1 = _solver(
                 branch_obj_linelimit, branch_cons_linelimit,
                 x0, xl, xu, params, lam0, mu0,
                 step_cap=par.branch_pass1_cap, active0=active0,
-                **kw, **extra,
+                **kw, **extra1,
             )
             # a lane is finished iff its last ALM check passed ctol or it
             # exhausted its ALM rounds; anything else ran out of pass-1

@@ -62,6 +62,11 @@ class Parameters:
     # stall the whole batch, so the global loop is budgeted. Lanes cut short
     # are simply warm-started again next ADMM iteration (inexact ADMM).
     # None = reference behaviour (max_minor * max_auglag).
+    # Production tuning (tools/solve_ab.py, synth-9241 full solve to the
+    # 20-outer limit): cap 12 matches cap 24's endpoint (obj delta 0.003%,
+    # mismatch 0.2006 vs 0.1934) at +14.5% it/s — the per-ADMM-iteration
+    # subproblem accuracy beyond ~12 lockstep steps is wasted because the
+    # prox targets move next iteration anyway. bench.py defaults to 12.
     tron_step_cap: int | None = None
 
     # branch ALM termination (auglag kernel :128-137)
@@ -110,6 +115,14 @@ class Parameters:
     # with fp32, else xla.
     branch_backend: str = "xla"
     pallas_tile: int = 1024
+    # pass-1 tile width for the two-pass branch solve (None = pallas_tile).
+    # Pass-1's trip count is FIXED at branch_pass1_cap, so wider tiles don't
+    # couple lockstep trip counts the way they do in single-pass mode — they
+    # just amortize the ~10us/step Mosaic op latency over more lanes. The
+    # tail re-solve keeps pallas_tile (its trip count IS data-dependent).
+    # Bounded by VMEM: the kernel working set is ~2.3 KB/lane, so 4096 is
+    # the practical ceiling on v5e (16 MB VMEM with input double-buffering).
+    pallas_pass1_tile: int | None = None
 
 
 @dataclasses.dataclass
