@@ -55,6 +55,23 @@ class InnerCarry:
     line_ids: jnp.ndarray    # i32 (nline_padded,) or (0,)
 
 
+def _beta_cap(dtype) -> float:
+    """Dtype-aware ceiling for the outer penalty beta.
+
+    The reference caps beta at 1e24 (admm_two_level.jl:75) — harmless in
+    fp64, where no practical escalation schedule reaches it. In fp32 an
+    uncapped beta ratchets past ~1e6 whenever ||z|| stalls and then destroys
+    the z/l/lz updates (z = -(lz+l+rho(u-v))/(beta+rho) underflows against
+    rho, lz clamps, primres grows — measured divergence at synth-9241:
+    primres 4.5e-2 at beta 3.6e4 -> 3.7e2 at beta 3.6e11). Sub-fp64 dtypes
+    cap at 0.1/eps, the same conditioning rule used for the branch ALM
+    mu_max (models/acopf/branch.py); fp64 keeps the reference constant
+    exactly so fp64 trajectories stay pinned."""
+    if jnp.finfo(dtype).eps <= jnp.finfo(jnp.float64).eps:
+        return 1e24
+    return 0.1 / float(jnp.finfo(dtype).eps)
+
+
 def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
                          Pd=None, Qd=None, pg_bounds=None) -> InnerCarry:
     # models implement the hook protocol (the TPU analogue of the reference's
@@ -253,7 +270,7 @@ def _fused_outer_while(model, sorting, sqrt_d, par,
             lambda a, b: jnp.where(solved, a, b), ic.sol, sol_lz)
         beta = jnp.where(
             (~solved) & (ic.norm_z > par.theta * c.norm_z),
-            jnp.minimum(par.inc_c * c.beta, 1e24), c.beta)
+            jnp.minimum(par.inc_c * c.beta, _beta_cap(dt)), c.beta)
         return OuterCarry(
             sol=sol2, beta=beta, outer=outer,
             cumul=c.cumul + ic.inner, inner_last=ic.inner,
@@ -409,7 +426,7 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
         sol = lz_step(sol, jnp.asarray(beta, sol.u.gen.dtype))
 
         if info.norm_z_curr > par.theta * info.norm_z_prev:
-            beta = min(par.inc_c * beta, 1e24)
+            beta = min(par.inc_c * beta, _beta_cap(sol.u.gen.dtype))
 
     if sort_active:
         # hand the solution back in canonical line order

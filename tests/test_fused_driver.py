@@ -38,3 +38,17 @@ def test_fused_matches_host_driver(case9_path):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(s2.lz.line), np.asarray(s1.lz.line),
                                atol=1e-10)
+
+
+def test_beta_cap_dtype_aware():
+    """fp32 beta escalation is capped at 0.1/eps (~8.4e5); fp64 keeps the
+    reference constant 1e24 exactly (admm_two_level.jl:75) so pinned fp64
+    trajectories cannot move."""
+    import jax.numpy as jnp
+
+    from exaadmm_tpu.algorithms.admm_two_level import _beta_cap
+
+    assert _beta_cap(jnp.float64) == 1e24
+    cap32 = _beta_cap(jnp.float32)
+    assert abs(cap32 - 0.1 / float(jnp.finfo(jnp.float32).eps)) < 1.0
+    assert 1e5 < cap32 < 1e6
