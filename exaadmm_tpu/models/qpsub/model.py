@@ -222,39 +222,19 @@ class ModelQpsub:
         b_br = b_br + jnp.concatenate(
             [jnp.zeros((nl, 2), dt), lL[:, 4:] - rL[:, 4:] * vz[:, 4:]], axis=1)
 
-        # rows-layout params for the batched solver
-        params = {
-            "C": jnp.transpose(self.C, (1, 2, 0)),       # (8,6,B)
-            "d": self.dvec.T,                            # (8,B)
-            "A": jnp.transpose(A_br, (1, 2, 0)),         # (6,6,B)
-            "b": b_br.T,                                 # (6,B)
-            "v1j": self.vec_1j.T, "v1k": self.vec_1k.T,  # (8,B)
-            "r1j": self.RH_1j, "r1k": self.RH_1k,        # (B,)
-            "scale": jnp.full((nl,), self.par.scale, dt),
-        }
+        # Reduce the lifted QP to an explicit quadratic in the 6 reduced vars
+        # once per ADMM iteration: with y = C x + d, z6 = y[2:],
+        #   f0(x) = 1/2 z6' A z6 + b' z6 = 1/2 x' G x + h0' x + fc,
+        # and the 1j/1k rows are AFFINE in x: c = w' x + e. The TRON solver
+        # then evaluates f/grad/Hessian in closed form (qp_fgh below) instead
+        # of 1 reverse + 6 forward-over-reverse autodiff passes per TR step —
+        # the same role as the reference's hand-coded QP evals
+        # (qpsub_tron_linelimit_kernel.jl:125-170). G/h0/fc/w/e are constant
+        # through the whole solve (rho is fixed in one-level ADMM), recomputed
+        # here only because b_br depends on (v, z, l).
+        params = _reduced_qp_params(self, A_br, b_br, nl, dt)
 
-        def lift(x, p):
-            return jnp.stack([
-                sum(p["C"][i][j] * x[j] for j in range(6)) + p["d"][i]
-                for i in range(8)
-            ])
-
-        def qp_obj(x, p, lam, mu):
-            y = lift(x, p)
-            z6 = y[2:]
-            Az = [sum(p["A"][i][j] * z6[j] for j in range(6)) for i in range(6)]
-            f = sum((0.5 * Az[i] + p["b"][i]) * z6[i] for i in range(6))
-            c3 = sum(p["v1j"][i] * y[i] for i in range(8)) - p["r1j"]
-            c4 = sum(p["v1k"][i] * y[i] for i in range(8)) - p["r1k"]
-            f = f + lam[0] * c3 + lam[1] * c4 + 0.5 * mu * (c3 * c3 + c4 * c4)
-            return f * p["scale"]
-
-        def qp_cons(x, p):
-            y = lift(x, p)
-            return jnp.stack([
-                sum(p["v1j"][i] * y[i] for i in range(8)) - p["r1j"],
-                sum(p["v1k"][i] * y[i] for i in range(8)) - p["r1k"],
-            ])
+        qp_obj, qp_cons, qp_fgh = _reduced_qp_fns()
 
         big = jnp.full((nl,), 200000.0, dt)
         zerov = jnp.zeros((nl,), dt)
@@ -278,6 +258,7 @@ class ModelQpsub:
             extra = {"tile": self.par.pallas_tile}
         else:
             _solver, extra = tron_alm_batched, {}
+        from ..acopf.branch import branch_alm_delta
         res = _solver(
             qp_obj, qp_cons, x0, xl, xu, params, lam0, mu0, **extra,
             gtol=max(self.par.tron_gtol, 40 * eps),
@@ -291,9 +272,12 @@ class ModelQpsub:
             # multipliers, so truncation self-corrects)
             step_cap=self.par.tron_step_cap,
             active0=active0,
+            fgh_fn=qp_fgh,
+            alm_delta_fn=branch_alm_delta,
         )
         x = res.x                                    # (6, B)
-        y = lift(x, params)                          # (8, B)
+        # lift back to the 8-dim ordering for flow recovery
+        y = jnp.einsum("lij,jl->il", self.C, x) + self.dvec.T  # (8, B)
         sqp_line = jnp.transpose(y[2:])              # (B, 6) Hs ordering
         flows = jnp.einsum("lki,il->lk",
                            self.supY8, y) + self.line_res  # (B, 4)
@@ -368,6 +352,69 @@ class ModelQpsub:
             "objval": objval, "auglag": auglag,
         }
         return sol.replace(base=b.replace(rp=rp, rd=rd)), scalars
+
+
+def _reduced_qp_params(model: ModelQpsub, A_br, b_br, nl, dt):
+    """Collapse the lifted per-line QP to rows-layout solver params.
+
+    With y = C x + d and z6 = y[2:] (C6 = C[2:, :], d6 = d[2:]):
+      G  = C6' A C6            h0 = C6' (A d6 + b)
+      fc = 1/2 d6' A d6 + b' d6
+      c3 = w3' x + e3 with w3 = C' v1j, e3 = v1j' d - r1j  (c4 analogous)
+    """
+    C6 = model.C[:, 2:, :]                                   # (nl, 6, 6)
+    d6 = model.dvec[:, 2:]                                   # (nl, 6)
+    Ad6 = jnp.einsum("lkm,lm->lk", A_br, d6)
+    G = jnp.einsum("lki,lkm,lmj->lij", C6, A_br, C6)
+    h0 = jnp.einsum("lki,lk->li", C6, Ad6 + b_br)
+    fc = 0.5 * jnp.sum(d6 * Ad6, axis=1) + jnp.sum(b_br * d6, axis=1)
+    w3 = jnp.einsum("lki,lk->li", model.C, model.vec_1j)
+    w4 = jnp.einsum("lki,lk->li", model.C, model.vec_1k)
+    e3 = jnp.sum(model.vec_1j * model.dvec, axis=1) - model.RH_1j
+    e4 = jnp.sum(model.vec_1k * model.dvec, axis=1) - model.RH_1k
+    return {
+        "G": jnp.transpose(G, (1, 2, 0)),    # (6,6,B)
+        "h0": h0.T, "w3": w3.T, "w4": w4.T,  # (6,B)
+        "fc": fc, "e3": e3, "e4": e4,        # (B,)
+        "scale": jnp.full((nl,), model.par.scale, dt),
+    }
+
+
+def _reduced_qp_fns():
+    """(obj, cons, fgh) over the reduced quadratic; all exact closed forms."""
+
+    def cons(x, p):
+        c3 = sum(p["w3"][i] * x[i] for i in range(6)) + p["e3"]
+        c4 = sum(p["w4"][i] * x[i] for i in range(6)) + p["e4"]
+        return jnp.stack([c3, c4])
+
+    def obj(x, p, lam, mu):
+        c3, c4 = cons(x, p)
+        Gx = [sum(p["G"][i][j] * x[j] for j in range(6)) for i in range(6)]
+        f = (sum((0.5 * Gx[i] + p["h0"][i]) * x[i] for i in range(6)) + p["fc"]
+             + lam[0] * c3 + lam[1] * c4 + 0.5 * mu * (c3 * c3 + c4 * c4))
+        return f * p["scale"]
+
+    def fgh(x, p, lam, mu):
+        c3, c4 = cons(x, p)
+        kap3 = lam[0] + mu * c3
+        kap4 = lam[1] + mu * c4
+        Gx = [sum(p["G"][i][j] * x[j] for j in range(6)) for i in range(6)]
+        f = (sum((0.5 * Gx[i] + p["h0"][i]) * x[i] for i in range(6)) + p["fc"]
+             + lam[0] * c3 + lam[1] * c4
+             + 0.5 * mu * (c3 * c3 + c4 * c4)) * p["scale"]
+        g = jnp.stack([
+            (Gx[i] + p["h0"][i] + kap3 * p["w3"][i] + kap4 * p["w4"][i])
+            * p["scale"]
+            for i in range(6)
+        ])
+        H = [[(p["G"][i][j]
+               + mu * (p["w3"][i] * p["w3"][j] + p["w4"][i] * p["w4"][j]))
+              * p["scale"]
+              for j in range(6)] for i in range(6)]
+        return f, g, H
+
+    return obj, cons, fgh
 
 
 def build_model(data_or_grid, par: Parameters, qp_inputs: dict, *,

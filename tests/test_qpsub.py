@@ -198,3 +198,55 @@ def test_qpsub_sharded_solve(case9_path, qp_inputs):
     assert res.info.status == "Solved"
     assert res.info.objval == pytest.approx(-21.92744641968529, abs=1e-3)
     assert res.model.grid.nline_padded % 8 == 0
+
+
+def test_qpsub_reduced_fgh_matches_autodiff(case9_path, qp_inputs):
+    """Closed-form f/grad/Hessian of the reduced QP (model._reduced_qp_fns)
+    vs autodiff of the same objective — the qpsub analogue of the branch
+    fgh check (tests/test_tron_pallas.py)."""
+    import jax
+    import jax.numpy as jnp
+    from exaadmm_tpu.models.qpsub import model as Q
+    from exaadmm_tpu.utils.environment import Parameters
+
+    data = opf_loaddata(case9_path, verbose=0)
+    par = Parameters(verbose=0, scale=1e-4)
+    m = Q.build_model(data, par, qp_inputs)
+    nl = m.grid.nline_padded
+    dt = m.Hs.dtype
+    rng = np.random.default_rng(7)
+
+    lL = jnp.asarray(rng.standard_normal((nl, 8)))
+    rL = jnp.asarray(rng.uniform(1.0, 5.0, (nl, 8)))
+    vz = jnp.asarray(rng.standard_normal((nl, 8)))
+    supY6 = m.supY8[:, :, 2:]
+    A_br = m.Hs + jnp.einsum("lk,lki,lkj->lij", rL[:, :4], supY6, supY6)
+    A_br = A_br + jnp.concatenate(
+        [jnp.zeros((nl, 2), dt), rL[:, 4:]], axis=1)[:, :, None] * \
+        jnp.eye(6, dtype=dt)[None]
+    coef = lL[:, :4] - rL[:, :4] * (vz[:, :4] - m.line_res)
+    b_br = jnp.einsum("lk,lki->li", coef, supY6)
+    b_br = b_br + jnp.concatenate(
+        [jnp.zeros((nl, 2), dt), lL[:, 4:] - rL[:, 4:] * vz[:, 4:]], axis=1)
+
+    params = Q._reduced_qp_params(m, A_br, b_br, nl, dt)
+    obj, cons, fgh = Q._reduced_qp_fns()
+
+    x = jnp.asarray(rng.standard_normal((6, nl)))
+    lam = jnp.asarray(rng.standard_normal((2, nl)))
+    mu = jnp.asarray(rng.uniform(1.0, 20.0, nl))
+
+    f, g, H = fgh(x, params, lam, mu)
+    np.testing.assert_allclose(f, obj(x, params, lam, mu), rtol=1e-12)
+
+    g_ad = jax.grad(lambda X: jnp.sum(obj(X, params, lam, mu)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                               rtol=1e-9, atol=1e-10)
+    for j in range(6):
+        e = jnp.zeros((6, nl)).at[j].set(1.0)
+        _, hj = jax.jvp(
+            lambda X: jax.grad(lambda Y: jnp.sum(obj(Y, params, lam, mu)))(X),
+            (x,), (e,))
+        for i in range(6):
+            np.testing.assert_allclose(np.asarray(H[i][j]), np.asarray(hj[i]),
+                                       rtol=1e-9, atol=1e-10)
