@@ -54,6 +54,7 @@ def solve_mpacopf(
     ramp_ratio: float = 0.02,
     warm_start: bool = True,
     load_scale: float = 1.0,
+    use_projection: bool = False,
     dtype=None,
 ) -> MpacopfResult:
     dtype = dtype or _default_dtype()
@@ -111,6 +112,35 @@ def solve_mpacopf(
     else:
         sol, info = admm_two_level_fused(model, sol, info)
 
+    if use_projection:
+        # reference: mpacopf admm_poststep delegates to each period's acopf
+        # admm_poststep, which runs pf_projection on that period's state with
+        # that period's loads (mpacopf_admm_prepoststep_cpu.jl:48-56 ->
+        # acopf_admm_prepoststep_cpu.jl poststep)
+        import jax
+        import numpy as np
+
+        from ..models.pf.projection import pf_projection
+        from ..utils.environment import Blocks
+
+        ac = sol.acopf
+        v_gen, v_line = [], []
+        t_total, pf_res = 0.0, 0.0
+        for t in range(model.T):
+            sol_t = jax.tree_util.tree_map(lambda a: a[t], ac)
+            proj_t, pinfo = pf_projection(
+                data, model, sol_t,
+                Pd=np.asarray(model.Pd[t]), Qd=np.asarray(model.Qd[t]),
+                verbose=verbose)
+            v_gen.append(proj_t.v.gen)
+            v_line.append(proj_t.v.line)
+            t_total += pinfo.get("time", 0.0)
+            pf_res = max(pf_res, pinfo.get("pf_residual") or 0.0)
+        sol = sol.replace(acopf=ac.replace(
+            v=Blocks(gen=jnp.stack(v_gen), line=jnp.stack(v_line))))
+        info.time_projection = t_total
+        info.pf_residual = pf_res
+
     err_ramp = mp_M.check_ramp_violations(model, sol)
     if verbose > 0:
         print(f" ** mpacopf: {info.status} obj={info.objval:.6e} "
@@ -119,7 +149,7 @@ def solve_mpacopf(
     env = AdmmEnv(case=case, data=data, initial_rho_pq=rho_pq,
                   initial_rho_va=rho_va, params=model.par,
                   tight_factor=tight_factor, use_linelimit=use_linelimit,
-                  load_specified=True,
+                  use_projection=use_projection, load_specified=True,
                   horizon_length=end_period - start_period + 1)
     return MpacopfResult(data=data, model=model, solution=sol, info=info,
                          err_ramp=err_ramp, env=env)

@@ -42,6 +42,7 @@ def solve_qpsub(
     outer_eps: float = 2e-4,
     verbose: int = 1,
     onelevel: bool = True,
+    use_projection: bool = False,
     dtype=None,
     mesh=None,
     pad_lines_to: int = 1,
@@ -78,5 +79,20 @@ def solve_qpsub(
         run = make_sharded_one_level(model, mesh)
     sol, info = admm_one_level(model, sol, run=run)
     sqp_out = Q.poststep(model, sol)
+    if use_projection:
+        # the reference's qpsub admm_poststep hooks the SAME generic
+        # pf_projection as acopf (qpsub_admm_prepoststep_cpu.jl:16-19),
+        # run on the final solution with the qpsub residual loads
+        import numpy as np
+
+        from ..models.pf.projection import pf_projection
+
+        base, proj_info = pf_projection(
+            data, model, sol.base,
+            Pd=np.asarray(model.Pd), Qd=np.asarray(model.Qd),
+            verbose=verbose)
+        sol = sol.replace(base=base)
+        info.time_projection = proj_info.get("time", 0.0)
+        info.pf_residual = proj_info.get("pf_residual")
     return QpsubResult(data=data, model=model, solution=sol, info=info,
                        sqp_out=sqp_out)

@@ -34,13 +34,52 @@ def test_case9_mpacopf_3periods(case9_path):
     assert pg[1] > pg[0] > 0
 
 
-def test_case9_mpacopf_no_warmstart(case9_path):
+def test_case9_mpacopf_no_warmstart_pinned(case9_path):
+    """Reference-faithful joint-solve shape: flat start, all periods coupled.
+
+    The reference's mpacopf regression runs the joint solve to 20 outer /
+    729 cumul, obj 15901.48 (mpacopf_update_cpu.jl:431-434, ExaData demand
+    artifact). That demand series isn't redistributable, so exact objective
+    parity is impossible; this pins OUR trajectory on the in-repo demand
+    series with the same shape — 20 outer rounds from a flat start — as an
+    iterate-exact regression (fp64 XLA CPU)."""
     prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
     res = solve_mpacopf(
         case9_path, prefix,
-        start_period=1, end_period=2,
+        start_period=1, end_period=3,
         rho_pq=4e2, rho_va=4e4, outer_iterlim=30, outer_eps=2e-4,
         verbose=0, warm_start=False,
     )
     assert res.info.status == "Solved"
+    assert res.info.outer == 20
+    assert res.info.cumul == 1007
+    assert res.info.objval == pytest.approx(16015.6958770167, rel=1e-10)
     assert res.err_ramp <= 1e-3
+
+
+def test_case9_mpacopf_projection(case9_path):
+    """use_projection threads through solve_mpacopf: every period's final
+    consensus state is replaced by an NR-projected power-flow solution
+    (reference admm_poststep hook, mpacopf_admm_prepoststep_cpu.jl:48-56)."""
+    import jax.numpy as jnp
+
+    prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
+    res = solve_mpacopf(
+        case9_path, prefix,
+        start_period=1, end_period=2,
+        rho_pq=4e2, rho_va=4e4, outer_iterlim=25, outer_eps=2e-4,
+        verbose=0, use_projection=True,
+    )
+    assert res.info.status == "Solved"
+    assert res.info.time_projection > 0.0
+    assert res.info.pf_residual < 1e-6  # NR converged for every period
+    # projected voltage copies are consistent per bus: the fr copy of w_i on
+    # every line equals vm^2 at that bus (exact after projection)
+    for t in range(2):
+        v_line = np.asarray(res.solution.acopf.v.line[t])
+        fr = np.asarray(res.model.grid.line_from)
+        w_by_bus = {}
+        for i, b in enumerate(fr):
+            w_by_bus.setdefault(int(b), []).append(v_line[i, 4])
+        for b, ws in w_by_bus.items():
+            assert np.ptp(ws) < 1e-12

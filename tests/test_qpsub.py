@@ -250,3 +250,37 @@ def test_qpsub_reduced_fgh_matches_autodiff(case9_path, qp_inputs):
         for i in range(6):
             np.testing.assert_allclose(np.asarray(H[i][j]), np.asarray(hj[i]),
                                        rtol=1e-9, atol=1e-10)
+
+
+def test_qpsub_projection_hook(case9_path, qp_inputs):
+    """use_projection reaches qpsub's poststep like the reference's generic
+    pf_projection hook (qpsub_admm_prepoststep_cpu.jl:16-19). The qpsub u
+    vector holds deltas, so the projection is the same mechanical operation
+    the reference performs; the hook must run NR and record its stats."""
+    from exaadmm_tpu.interface.solve_qpsub import solve_qpsub
+
+    res = solve_qpsub(
+        case9_path,
+        qp_inputs["Hs"], qp_inputs["LH_1h"], qp_inputs["RH_1h"],
+        qp_inputs["LH_1i"], qp_inputs["RH_1i"],
+        qp_inputs["LH_1j"], qp_inputs["RH_1j"],
+        qp_inputs["LH_1k"], qp_inputs["RH_1k"],
+        qp_inputs["ls"], qp_inputs["us"],
+        qp_inputs["pgmax"], qp_inputs["pgmin"],
+        qp_inputs["qgmax"], qp_inputs["qgmin"],
+        qp_inputs["c1"], qp_inputs["c2"], qp_inputs["Pd"], qp_inputs["Qd"],
+        1e5,
+        outer_iterlim=200, inner_iterlim=1, scale=1e-4, obj_scale=1.0,
+        rho_pq=4000.0, rho_va=4000.0, verbose=0, outer_eps=2e-6,
+        onelevel=True, use_projection=True,
+    )
+    assert res.info.time_projection > 0.0
+    assert res.info.pf_residual is not None
+    # per-bus consistency of the projected voltage copies
+    v_line = np.asarray(res.solution.base.v.line)
+    fr = np.asarray(res.model.grid.line_from)[: res.data.nline]
+    w_by_bus = {}
+    for i, b in enumerate(fr):
+        w_by_bus.setdefault(int(b), []).append(v_line[i, 4])
+    for b, ws in w_by_bus.items():
+        assert np.ptp(ws) < 1e-12
