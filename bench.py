@@ -54,6 +54,7 @@ def main():
                      pallas_pass1_tile=(int(os.environ["BENCH_P1TILE"])
                                         if "BENCH_P1TILE" in os.environ
                                         else None),
+                     bus_backend=os.environ.get("BENCH_BUS", "auto"),
                      sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
                      inner_iterlim=INNER_ITERS,
                      outer_iterlim=outers,
@@ -89,6 +90,20 @@ def main():
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / BASELINE_ITERS_PER_SEC, 3),
+        # effective knobs, so cross-round artifacts are self-describing
+        # (the step-cap default changed 24 -> 12 in round 3)
+        "config": {
+            "dtype": str(jnp.dtype(dtype)),
+            "tron_step_cap": par.tron_step_cap,
+            "branch_pass1_cap": par.branch_pass1_cap,
+            "pallas_tile": par.pallas_tile,
+            "pallas_pass1_tile": par.pallas_pass1_tile,
+            "sort_lines": par.sort_lines,
+            "backend": par.branch_backend,
+            "bus_backend": getattr(par, "bus_backend", None),
+            "inner_iterlim": INNER_ITERS,
+            "outer_rounds_per_dispatch": outers,
+        },
     }))
 
 

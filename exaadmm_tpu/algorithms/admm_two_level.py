@@ -47,6 +47,7 @@ class InnerCarry:
     # 150-153) and the number of two-pass stragglers beyond tail capacity
     max_cviol: jnp.ndarray
     tail_overflow: jnp.ndarray  # i32
+    pass1_unfinished: jnp.ndarray  # i32 lanes out of pass-1 budget last iter
     # line-sorting state (Parameters.sort_lines): per-lane lockstep steps of
     # the LAST inner iteration (the difficulty signal) and the composed
     # current-position -> original-line-id map. Models without per-lane
@@ -98,6 +99,7 @@ def _one_inner_iteration(model, carry: InnerCarry, beta, axis_name=None,
         avg_minor_it=stats["avg_minor_it"],
         max_cviol=stats.get("max_cviol", carry.max_cviol),
         tail_overflow=stats.get("tail_overflow", carry.tail_overflow),
+        pass1_unfinished=stats.get("pass1_unfinished", carry.pass1_unfinished),
         lane_steps=stats.get("lane_steps", carry.lane_steps),
         line_ids=carry.line_ids,
     )
@@ -139,6 +141,82 @@ def make_inner_loop(model, inner_iterlim: int):
     return run_inner
 
 
+def make_timed_inner_loop(model, inner_iterlim: int):
+    """Per-hook stepping inner loop (``verbose >= 2`` debug path).
+
+    Each hook runs as its OWN jitted dispatch, timed with block_until_ready,
+    so the per-phase ``IterationInformation.time_{x,xbar,z,l}_update`` fields
+    can be populated the way the reference fills them every iteration
+    (environment.jl:341-347, printed by print_statistics.jl:7-19). This
+    executes ~6 dispatches per inner iteration instead of one per SOLVE —
+    orders of magnitude slower over the TPU tunnel; it exists for
+    observability, not production. No line sorting (debug path).
+
+    The returned callable matches make_inner_loop's signature and returns an
+    InnerCarry; pass an IterationInformation as ``run_inner.info`` target via
+    the ``timings`` dict attribute, read back by admm_two_level.
+    """
+    sqrt_d = float(model.nvar) ** 0.5
+    grid0 = getattr(model, "grid", None)
+    nlp = grid0.nline_padded if grid0 is not None else 0
+
+    prestep = jax.jit(model.inner_prestep)
+    upd_x = jax.jit(lambda s, it, pb: model.update_x(s, it, pg_bounds=pb))
+    upd_xbar = jax.jit(lambda s, Pd, Qd: model.update_xbar(s, Pd=Pd, Qd=Qd))
+    upd_z = jax.jit(model.update_z)
+    upd_l = jax.jit(model.update_l)
+    upd_res = jax.jit(model.update_residual)
+
+    timings = {"x": 0.0, "xbar": 0.0, "z": 0.0, "l": 0.0}
+
+    def _timed(key, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        timings[key] = timings[key] + (time.perf_counter() - t0)
+        return out
+
+    def run_inner(sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
+                  line_ids=None, lane_steps=None):
+        eps_pri = sqrt_d / (2500.0 * float(outer))
+        inner = 0
+        scalars = stats = None
+        while inner < inner_iterlim:
+            sol = prestep(sol)
+            inner += 1
+            it = jnp.asarray(inner, jnp.int32)
+            sol, stats = _timed("x", upd_x, sol, it,
+                                (pgmin_curr, pgmax_curr))
+            sol = _timed("xbar", upd_xbar, sol, Pd, Qd)
+            sol = _timed("z", upd_z, sol, beta)
+            sol = _timed("l", upd_l, sol, beta)
+            sol, scalars = upd_res(sol, beta)
+            if float(scalars["primres"]) <= eps_pri:
+                break
+        dt = sol.u.gen.dtype if hasattr(sol, "u") else (
+            jax.tree_util.tree_leaves(sol)[0].dtype)
+        zero = jnp.zeros((), dt)
+        return InnerCarry(
+            sol=sol, inner=jnp.asarray(inner, jnp.int32),
+            primres=scalars["primres"], dualres=scalars["dualres"],
+            norm_z=scalars["norm_z_curr"], mismatch=scalars["mismatch"],
+            objval=scalars["objval"], auglag=scalars["auglag"],
+            avg_auglag_it=stats.get("avg_auglag_it", zero),
+            avg_minor_it=stats.get("avg_minor_it", zero),
+            max_cviol=stats.get("max_cviol", zero),
+            tail_overflow=stats.get("tail_overflow", jnp.zeros((), jnp.int32)),
+            pass1_unfinished=stats.get("pass1_unfinished",
+                                       jnp.zeros((), jnp.int32)),
+            lane_steps=stats.get("lane_steps", jnp.zeros((nlp,), jnp.int32)),
+            line_ids=jnp.arange(nlp, dtype=jnp.int32),
+        )
+
+    run_inner.line_sort = False
+    run_inner.nline_padded = nlp
+    run_inner.timings = timings
+    return run_inner
+
+
 def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
                         sol, beta, outer, Pd, Qd, pgmin_curr, pgmax_curr,
                         line_ids, lane_steps, axis_name=None) -> InnerCarry:
@@ -177,6 +255,7 @@ def _sorted_inner_while(model, sorting, sqrt_d, inner_iterlim,
         avg_minor_it=jnp.asarray(0.0, dt),
         max_cviol=jnp.asarray(0.0, dt),
         tail_overflow=jnp.zeros((), jnp.int32),
+        pass1_unfinished=jnp.zeros((), jnp.int32),
         lane_steps=lane_steps,
         line_ids=line_ids,
     )
@@ -206,6 +285,7 @@ class OuterCarry:
     auglag: jnp.ndarray
     max_cviol: jnp.ndarray
     tail_overflow: jnp.ndarray  # i32
+    pass1_unfinished: jnp.ndarray  # i32
     lane_steps: jnp.ndarray
     line_ids: jnp.ndarray
 
@@ -278,12 +358,16 @@ def _fused_outer_while(model, sorting, sqrt_d, par,
             mismatch=ic.mismatch, primres=ic.primres,
             dualres=ic.dualres, objval=ic.objval, auglag=ic.auglag,
             max_cviol=ic.max_cviol, tail_overflow=ic.tail_overflow,
+            pass1_unfinished=ic.pass1_unfinished,
             lane_steps=ic.lane_steps, line_ids=ic.line_ids,
         )
 
     c0 = OuterCarry(
         sol=sol,
-        beta=jnp.asarray(beta0, dt),
+        # clamp a user-supplied beta0 too — escalation clamps alone would let
+        # an out-of-range initial beta run the z/l/lz updates in exactly the
+        # degenerate regime the cap exists to prevent
+        beta=jnp.minimum(jnp.asarray(beta0, dt), _beta_cap(dt)),
         outer=jnp.zeros((), jnp.int32),
         cumul=jnp.zeros((), jnp.int32),
         inner_last=jnp.zeros((), jnp.int32),
@@ -296,6 +380,7 @@ def _fused_outer_while(model, sorting, sqrt_d, par,
         auglag=jnp.asarray(0.0, dt),
         max_cviol=jnp.asarray(0.0, dt),
         tail_overflow=jnp.zeros((), jnp.int32),
+        pass1_unfinished=jnp.zeros((), jnp.int32),
         lane_steps=jnp.zeros((nlp,), jnp.int32),
         line_ids=jnp.arange(nlp, dtype=jnp.int32),
     )
@@ -332,6 +417,7 @@ def admm_two_level_fused(model, sol: Solution,
     info.auglag = float(out.auglag)
     info.max_cviol = float(out.max_cviol)
     info.tail_overflow = int(out.tail_overflow)
+    info.pass1_unfinished = int(out.pass1_unfinished)
     sqrt_d = float(model.nvar) ** 0.5
     info.eps_pri = sqrt_d / (2500.0 * max(info.outer, 1))
     info.status = ("Solved" if info.mismatch <= sqrt_d * par.outer_eps
@@ -358,7 +444,14 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
     outer_tol = sqrt_d * par.outer_eps
 
     if run_inner is None:
-        run_inner = make_inner_loop(model, par.inner_iterlim)
+        if par.verbose >= 2:
+            # per-hook stepping with block_until_ready timing: populates the
+            # reference's per-phase time_* fields (environment.jl:341-347) at
+            # the cost of ~6 dispatches per inner iteration instead of one
+            # per outer round — observability mode only
+            run_inner = make_timed_inner_loop(model, par.inner_iterlim)
+        else:
+            run_inner = make_inner_loop(model, par.inner_iterlim)
     if Pd is None:
         Pd = model.default_Pd()
     if Qd is None:
@@ -369,7 +462,7 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
         pgmax_curr = model.pgmax_curr
     lz_step = jax.jit(lambda s, b: model.update_lz(s, b))
 
-    beta = par.initial_beta
+    beta = min(par.initial_beta, _beta_cap(sol.u.gen.dtype))
     info.status = "IterationLimit"
     info.norm_z_curr = info.norm_z_prev = float("inf")
 
@@ -410,6 +503,7 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
         info.auglag = float(carry.auglag)
         info.max_cviol = float(carry.max_cviol)
         info.tail_overflow = int(carry.tail_overflow)
+        info.pass1_unfinished = int(carry.pass1_unfinished)
         info.eps_pri = sqrt_d / (2500.0 * info.outer)
 
         if par.verbose > 0:
@@ -423,7 +517,11 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
             info.status = "Solved"
             break
 
+        t_lz = time.perf_counter()
         sol = lz_step(sol, jnp.asarray(beta, sol.u.gen.dtype))
+        if hasattr(run_inner, "timings"):
+            jax.block_until_ready(sol)
+            info.time_lz_update += time.perf_counter() - t_lz
 
         if info.norm_z_curr > par.theta * info.norm_z_prev:
             beta = min(par.inc_c * beta, _beta_cap(sol.u.gen.dtype))
@@ -431,6 +529,13 @@ def admm_two_level(model, sol: Solution, info: IterationInformation | None = Non
     if sort_active:
         # hand the solution back in canonical line order
         sol = jax.jit(restore_line_order)(sol, line_ids)
+
+    if hasattr(run_inner, "timings"):
+        t = run_inner.timings
+        info.time_x_update += t["x"]
+        info.time_xbar_update += t["xbar"]
+        info.time_z_update += t["z"]
+        info.time_l_update += t["l"]
 
     info.time_overall = time.perf_counter() - t0
     par.beta = beta

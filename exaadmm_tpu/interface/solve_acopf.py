@@ -53,6 +53,16 @@ def solve_acopf(
     tron_step_cap: int | None = None,
     branch_backend: str = "xla",
     pallas_tile: int = 1024,
+    initial_beta: float = 1e3,
+    # outer-penalty escalation threshold (reference theta=0.8,
+    # admm_two_level.jl:74). Iteration counts are sensitive to where the
+    # per-outer ||z|| contraction ratio lands relative to theta: on case9
+    # this solver contracts at ~0.71/outer, just BELOW 0.8, so beta never
+    # escalates and the solve takes 25 outer / 1087 cumul; theta=0.72
+    # reproduces the reference's 20-outer shape (739 cumul, obj 5303.2 vs
+    # its 705 / 5303.4). See PARITY.md.
+    theta: float = 0.8,
+    inc_c: float = 6.0,
 ) -> SolveResult:
     """Solve a single-period ACOPF with two-level ADMM.
 
@@ -70,6 +80,10 @@ def solve_acopf(
         obj_scale=obj_scale,
         scale=scale,
         outer_eps=outer_eps,
+        initial_beta=initial_beta,
+        beta=initial_beta,
+        theta=theta,
+        inc_c=inc_c,
         verbose=verbose,
         tron_step_cap=tron_step_cap,
         branch_backend=branch_backend,

@@ -411,8 +411,9 @@ def branch_update(
                 **kw, **extra,
             )
 
+            pass1_unfinished = jnp.sum(unfinished.astype(jnp.int32))
             tail_overflow = jnp.maximum(
-                jnp.sum(unfinished.astype(jnp.int32)) - tail_cap, 0
+                pass1_unfinished - tail_cap, 0
             ).astype(jnp.int32)
 
             def out_pack(r):
@@ -436,6 +437,7 @@ def branch_update(
             )
         else:
             tail_overflow = jnp.zeros((), jnp.int32)
+            pass1_unfinished = jnp.zeros((), jnp.int32)
             res = _solver(
                 branch_obj_linelimit, branch_cons_linelimit,
                 x0, xl, xu, params, lam0, mu0,
@@ -446,6 +448,7 @@ def branch_update(
         x = res.x
     else:
         tail_overflow = jnp.zeros((), jnp.int32)
+        pass1_unfinished = jnp.zeros((), jnp.int32)
         x0, xl, xu = _warm_start_x0(u_line, gd, False)
         res = tron_batched(
             branch_obj_polar, x0, xl, xu, params,
@@ -482,10 +485,17 @@ def branch_update(
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
         max_cv = jax.lax.pmax(max_cv, axis_name)
+        counts = jax.lax.psum(
+            jnp.stack([tail_overflow, pass1_unfinished]), axis_name)
+        tail_overflow, pass1_unfinished = counts[0], counts[1]
     stats = {
         "avg_auglag_it": sums[0] / gd.nline,
         "avg_minor_it": sums[1] / gd.nline,
         "max_cviol": max_cv,
+        # lanes that ran out of the pass-1 lockstep budget this dispatch —
+        # the total inexactness signal (most are re-solved exactly by the
+        # tail; see Parameters.branch_two_pass)
+        "pass1_unfinished": pass1_unfinished,
         # stragglers beyond the two-pass tail capacity this call (they kept
         # their pass-1 iterate; persistent non-zero values mean
         # branch_tail_tiles should be raised)

@@ -170,9 +170,18 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
     return sol.replace(u=Blocks(gen=u_gen, line=u_line), branch_alm=alm), stats
 
 
+def resolve_bus_backend(par, dtype):
+    bb = getattr(par, "bus_backend", "auto")
+    if bb == "auto":
+        bb = "kr" if dtype == jnp.float32 else "segsum"
+    return bb
+
+
 def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=None):
-    v = kernels.bus_update(sol.u, sol.z, sol.l, sol.rho, model.grid,
-                           Pd=Pd, Qd=Qd, axis_name=axis_name)
+    v = kernels.bus_update(
+        sol.u, sol.z, sol.l, sol.rho, model.grid,
+        Pd=Pd, Qd=Qd, axis_name=axis_name,
+        bus_backend=resolve_bus_backend(model.par, sol.u.gen.dtype))
     return sol.replace(v=v)
 
 

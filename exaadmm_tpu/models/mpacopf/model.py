@@ -310,9 +310,12 @@ class ModelMpacopf:
             "l": shift(rp.l), "rho": shift(rp.rho),
         }
 
+        from ..acopf.model import resolve_bus_backend
+        bb = resolve_bus_backend(self.par, dtype)
+
         def one_period(u, z, l, rho, pd, qd, ramp):
             return kernels.bus_update(u, z, l, rho, gd, Pd=pd, Qd=qd, ramp=ramp,
-                                      axis_name=axis_name)
+                                      axis_name=axis_name, bus_backend=bb)
 
         v = jax.vmap(one_period)(ac.u, ac.z, ac.l, ac.rho, Pd, Qd, ramp_args)
         return sol.replace(acopf=ac.replace(v=v))

@@ -99,7 +99,7 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
         sol=sol_sp, inner=P(), primres=P(), dualres=P(), norm_z=P(),
         mismatch=P(), objval=P(), auglag=P(),
         avg_auglag_it=P(), avg_minor_it=P(),
-        max_cviol=P(), tail_overflow=P(),
+        max_cviol=P(), tail_overflow=P(), pass1_unfinished=P(),
         lane_steps=P(axis), line_ids=P(axis),
     )
 
@@ -134,6 +134,7 @@ def make_sharded_inner_loop(model, mesh: Mesh, inner_iterlim: int, axis: str = A
             avg_minor_it=jnp.asarray(0.0, dt),
             max_cviol=jnp.asarray(0.0, dt),
             tail_overflow=jnp.zeros((), jnp.int32),
+            pass1_unfinished=jnp.zeros((), jnp.int32),
             # local-shard placeholders (line sorting is a single-device
             # optimization; each shard's own while_loop already exits early)
             lane_steps=jnp.zeros(gd_local.YffR.shape, jnp.int32),
@@ -245,7 +246,7 @@ def make_sharded_fused_solver(model, mesh: Mesh, axis: str = AXIS):
         sol=sol_sp, beta=P(), outer=P(), cumul=P(), inner_last=P(),
         norm_z_prev=P(), norm_z=P(), mismatch=P(), primres=P(),
         dualres=P(), objval=P(), auglag=P(),
-        max_cviol=P(), tail_overflow=P(),
+        max_cviol=P(), tail_overflow=P(), pass1_unfinished=P(),
         lane_steps=P(axis), line_ids=P(axis),
     )
 

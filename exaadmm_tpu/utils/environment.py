@@ -95,14 +95,19 @@ class Parameters:
     # single-pass solve (trajectories are independent of tile composition);
     # stragglers BEYOND the tail capacity keep their pass-1 iterate and
     # warm-start the next ADMM iteration — additional deliberate inexactness
-    # on top of tron_step_cap. In steady state (warm multipliers, p99 of
-    # lanes finish in <= ~7 steps) the ~1/8 default tail absorbs everyone
-    # and the solve is two-pass-exact; during cold-start iterations many
-    # lanes overflow and the trajectory is a budgeted approximation (the
-    # update_x stat `tail_overflow` counts them; convergence regressions in
-    # tests/ guard the quality). Applied when the line batch spans enough
-    # tiles to matter (B >= 4 * tail capacity). branch_tail_tiles=None sizes
-    # the tail to 1/16 of the batch.
+    # on top of tron_step_cap. Measured steady-state straggler rates at
+    # synth-9241 (tools/hook_bench.py): ~31% of lanes exceed the pass-1
+    # budget at the default cap 2 — the 1/16 tail holds
+    # ~6% of lanes, so in steady state the tail re-solves the hardest
+    # slice and the rest of the stragglers carry budgeted iterates into the
+    # next ADMM iteration, which warm-starts them (same self-correction as
+    # tron_step_cap truncation). The per-dispatch stats `pass1_unfinished`
+    # (lanes that ran out of pass-1 budget) and `tail_overflow` (lanes
+    # beyond tail capacity) quantify the injected inexactness; convergence
+    # regressions in tests/ and the recorded time-to-tolerance artifacts
+    # (tools/solve_bench.py) guard the quality. Applied when the line batch
+    # spans enough tiles to matter (B >= 4 * tail capacity).
+    # branch_tail_tiles=None sizes the tail to 1/16 of the batch.
     branch_two_pass: bool = True
     # measured at 9241 scale with the 1/16 tail: cap 2 beats 3 by ~12%
     # steady-state and ~22% on full solves (see tools/solve_ab.py)
@@ -115,10 +120,18 @@ class Parameters:
     # with fp32, else xla.
     branch_backend: str = "xla"
     pallas_tile: int = 1024
+    # bus-update line->bus scatter backend: "segsum" (exact
+    # jax.ops.segment_sum, row-serial on TPU) or "kr" (Khatri-Rao one-hot
+    # MXU matmuls, ~2x faster at benchmark scale, ~3e-6 rel aggregation
+    # error — below fp32 solver tolerances; see kernels.kr_scatter).
+    # "auto" = kr for fp32 (TPU production), segsum otherwise (fp64 parity).
+    bus_backend: str = "auto"
     # pass-1 tile width for the two-pass branch solve (None = pallas_tile).
-    # Pass-1's trip count is FIXED at branch_pass1_cap, so wider tiles don't
-    # couple lockstep trip counts the way they do in single-pass mode — they
-    # just amortize the ~10us/step Mosaic op latency over more lanes. The
+    # Pass-1's trip count is BOUNDED by branch_pass1_cap (a tile still exits
+    # early when every lane in it converges), so wider tiles cannot couple
+    # lockstep trip counts beyond the cap the way they do in single-pass
+    # mode — they just amortize the ~10us/step Mosaic op latency over more
+    # lanes. The
     # tail re-solve keeps pallas_tile (its trip count IS data-dependent).
     # Bounded by VMEM: the kernel working set is ~2.3 KB/lane, so 4096 is
     # the practical ceiling on v5e (16 MB VMEM with input double-buffering).
@@ -288,6 +301,10 @@ class IterationInformation:
     # constraint violation; two-pass stragglers beyond the tail capacity
     max_cviol: float = 0.0
     tail_overflow: int = 0
+    # lanes that exceeded the two-pass pass-1 budget in the last inner
+    # iteration (most were re-solved exactly by the tail; see
+    # Parameters.branch_two_pass)
+    pass1_unfinished: int = 0
     # wall-clock accounting
     time_overall: float = 0.0
     time_x_update: float = 0.0

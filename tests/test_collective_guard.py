@@ -37,6 +37,7 @@ def test_sharded_inner_loop_collectives(case9_path):
     nb = gd.nbus
     assert shapes == sorted([
         "2xf64",          # branch-solver effort stats
+        "2xi32",          # two-pass inexactness counters (stacked)
         "f64",            # max constraint violation (psum_max scalar)
         f"{nb}x8xf64",    # stacked bus consensus accumulators
         "7xf64",          # residual norms + objective + auglag partials

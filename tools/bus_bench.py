@@ -36,24 +36,33 @@ from jax import lax
 N = int(os.environ.get("BENCH_ROWS", 15710))
 NBUS = int(os.environ.get("BENCH_SEGS", 9241))
 W = int(os.environ.get("BENCH_WIDTH", 8))
-REPS = 50
+REPS = 200
 L = 128
 H = -(-NBUS // L)
 NBUS_PAD = H * L
 
 
 def timeit(name, fn, *args):
-    f = jax.jit(lambda a: lax.fori_loop(0, REPS, lambda i, x: fn(x), a))
-    r = f(*args)
-    jax.block_until_ready(r)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    """Differential timing: the tunnel costs ~24 ms per DISPATCH regardless
+    of work, so time fori_loop at two trip counts and take the slope."""
+    lo, hi = 4, 4 + REPS
+
+    def total(reps):
+        f = jax.jit(lambda a, reps=reps: lax.fori_loop(
+            0, reps, lambda i, x: fn(x), a))
         r = f(*args)
         jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / REPS)
-    print(f"{name:52s} {best*1e6:9.1f} us/iter")
-    return best
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = f(*args)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = (total(hi) - total(lo)) / (hi - lo)
+    print(f"{name:52s} {t*1e6:9.1f} us/iter")
+    return t
 
 
 def main():
@@ -96,6 +105,32 @@ def main():
             preferred_element_type=jnp.float32)
         return agg.reshape(H, W, L).transpose(0, 2, 1).reshape(NBUS_PAD, W)
 
+    # --- decomposed KR costs + sorted-index variants ---
+    fr_sorted = jnp.sort(fr)
+    timeit("scatter: segsum fr+to, SORTED ids + hint",
+           lambda a: a + pad_n(
+               jax.ops.segment_sum(a + x, fr_sorted, num_segments=NBUS,
+                                   indices_are_sorted=True)
+               + jax.ops.segment_sum(x, fr_sorted, num_segments=NBUS,
+                                     indices_are_sorted=True)), x)
+    D_pre = (Ahi_f[:, :, None] * x[:, None, :]).reshape(N, H * W)
+    timeit("scatter: KR D-build only (x2)",
+           lambda a: a + pad_n(
+               ((Ahi_f[:, :, None] * (a + x)[:, None, :]).reshape(N, H * W)
+                [:, :W])
+               + ((Ahi_t[:, :, None] * x[:, None, :]).reshape(N, H * W)
+                  [:, :W])), x)
+    timeit("scatter: KR matmul only (x2, pre-built D, bf16)",
+           lambda a: a + pad_n(
+               jax.lax.dot_general(
+                   D_pre + a[0, 0] * 1e-20, Alo_f, (((0,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32)
+               .reshape(H, W, L).transpose(0, 2, 1).reshape(NBUS_PAD, W)
+               + jax.lax.dot_general(
+                   D_pre, Alo_t, (((0,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32)
+               .reshape(H, W, L).transpose(0, 2, 1).reshape(NBUS_PAD, W)), x)
+
     for prec, tag in [(jax.lax.Precision.DEFAULT, "bf16 1-pass"),
                       (jax.lax.Precision.HIGH, "3-pass"),
                       (jax.lax.Precision.HIGHEST, "6-pass")]:
@@ -137,7 +172,8 @@ def main():
 
     # ---------------- gather --------------------------------------------
     timeit("gather: wtm[fr] + wtm[to] (baseline)",
-           lambda a: a + jnp.concatenate([a[fr] * 1e-20 + wtm[fr], wtm[to]], 1),
+           lambda a: a + jnp.concatenate(
+               [a[fr][:, :4] * 1e-20 + wtm[fr], wtm[to]], 1),
            jnp.zeros((N, 8), jnp.float32))
 
     def kr_gather(w, Ahi, Alo, precision):
@@ -169,6 +205,13 @@ def main():
            lambda a: a + jnp.concatenate(
                [kr_gather_split(wtm + a[0, 0] * 1e-20, Ahi_f16, Alo_f16),
                 kr_gather_split(wtm, Ahi_t16, Alo_t16)], 1),
+           jnp.zeros((N, 8), jnp.float32))
+
+    timeit("gather: wtm[fr] SORTED + hint (x2)",
+           lambda a: a + jnp.concatenate(
+               [a[fr_sorted][:, :4] * 1e-20
+                + jnp.take(wtm, fr_sorted, axis=0, indices_are_sorted=True),
+                jnp.take(wtm, fr_sorted, axis=0, indices_are_sorted=True)], 1),
            jnp.zeros((N, 8), jnp.float32))
 
     refg = np.asarray(wtm, np.float64)[np.asarray(fr)]

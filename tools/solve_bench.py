@@ -1,0 +1,115 @@
+"""Wall-time-to-tolerance benchmark: full fused solves from a flat start.
+
+BENCH_r*.json measures steady-state iterations/sec with convergence disabled
+(fixed work per dispatch); this records the complementary end-to-end metric —
+the BASELINE.md north star — so it/s cannot hide iteration-count inflation:
+
+    {secs_to_tol, cumul, outer, obj, mismatch, tol, status}
+
+per case, in the production configuration (fp32, pallas, difficulty sort),
+from a flat start to mismatch <= sqrt(nvar) * outer_eps or the outer
+iteration limit. The solve runs ONCE to compile, then re-runs from the same
+flat start on the cached executable for the timed number (the tunnel's
+compile time is not a property of the solver).
+
+Env knobs: SOLVE_BENCH_CASES="9241,70000" (synthetic bus counts),
+SOLVE_BENCH_OUTERS (default 40), SOLVE_BENCH_EPS (default 2e-4),
+SOLVE_BENCH_DTYPE=fp32|fp64 (fp64 forces the XLA branch backend),
+SOLVE_BENCH_OUT (write the JSON to a file as well as stdout).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+USE_F64 = os.environ.get("SOLVE_BENCH_DTYPE", "fp32") == "fp64"
+if USE_F64:
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def run_case(nbus: int, outers: int, eps: float):
+    from exaadmm_tpu.algorithms.admm_two_level import make_fused_solver
+    from exaadmm_tpu.models.acopf import model as M
+    from exaadmm_tpu.utils.environment import Parameters
+    from exaadmm_tpu.utils.synthetic import synthetic_case
+
+    dtype = jnp.float64 if USE_F64 else jnp.float32
+    data = synthetic_case(nbus, seed=0)
+    par = Parameters(
+        verbose=0,
+        tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
+        branch_backend="xla" if USE_F64 else "pallas",
+        pallas_tile=1024,
+        sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
+        inner_iterlim=int(os.environ.get("BENCH_INNER", 20)),
+        outer_iterlim=outers,
+        outer_eps=eps,
+    )
+    model = M.build_model(data, par, dtype=dtype)
+    par.scale = 1e-4
+    run = make_fused_solver(model)
+    gd = model.grid
+    args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
+    sqrt_d = float(model.nvar) ** 0.5
+
+    def solve():
+        sol = M.init_solution(model, 400.0, 40000.0)
+        t0 = time.perf_counter()
+        out = run(sol, 1e3, *args)
+        jax.block_until_ready(out)
+        return out, time.perf_counter() - t0
+
+    out, _ = solve()        # compile + first run
+    out, secs = solve()     # timed run on the cached executable
+
+    tol = sqrt_d * eps
+    mismatch = float(out.mismatch)
+    return {
+        "case": f"synth{nbus}bus_{data.nline}line",
+        "secs_to_tol": round(secs, 3),
+        "cumul": int(out.cumul),
+        "outer": int(out.outer),
+        "obj": float(out.objval),
+        "mismatch": mismatch,
+        "tol": tol,
+        "status": "Solved" if mismatch <= tol else "IterationLimit",
+        "iters_per_sec_e2e": round(int(out.cumul) / secs, 1),
+    }
+
+
+def main():
+    cases = [int(c) for c in
+             os.environ.get("SOLVE_BENCH_CASES", "9241").split(",")]
+    outers = int(os.environ.get("SOLVE_BENCH_OUTERS", 40))
+    eps = float(os.environ.get("SOLVE_BENCH_EPS", 2e-4))
+
+    results = {
+        "metric": "wall_secs_to_outer_tolerance_flat_start",
+        "dtype": "fp64" if USE_F64 else "fp32",
+        "outer_eps": eps,
+        "outer_iterlim": outers,
+        "config": {
+            "tron_step_cap": int(os.environ.get("BENCH_STEP_CAP", 12)),
+            "inner_iterlim": int(os.environ.get("BENCH_INNER", 20)),
+            "sort_lines": os.environ.get("BENCH_SORT", "1") == "1",
+            "backend": "xla" if USE_F64 else "pallas",
+        },
+        "cases": [run_case(nbus, outers, eps) for nbus in cases],
+    }
+    line = json.dumps(results)
+    print(line)
+    out_path = os.environ.get("SOLVE_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
