@@ -55,6 +55,13 @@ def main():
                                         if "BENCH_P1TILE" in os.environ
                                         else None),
                      bus_backend=os.environ.get("BENCH_BUS", "auto"),
+                     tron_trial_unroll=(tuple(
+                         int(v) for v in os.environ["BENCH_UNROLL"].split(","))
+                         if "BENCH_UNROLL" in os.environ else "auto"),
+                     branch_pass1_cap=int(os.environ.get("BENCH_P1CAP", 2)),
+                     branch_tail_tiles=(int(os.environ["BENCH_TAIL"])
+                                        if "BENCH_TAIL" in os.environ
+                                        else None),
                      sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
                      inner_iterlim=INNER_ITERS,
                      outer_iterlim=outers,

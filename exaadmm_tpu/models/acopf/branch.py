@@ -411,7 +411,7 @@ def branch_update(
                 **kw, **extra,
             )
 
-            pass1_unfinished = jnp.sum(unfinished.astype(jnp.int32))
+            pass1_unfinished = jnp.sum(unfinished, dtype=jnp.int32)
             tail_overflow = jnp.maximum(
                 pass1_unfinished - tail_cap, 0
             ).astype(jnp.int32)
