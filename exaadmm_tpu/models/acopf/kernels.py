@@ -153,7 +153,11 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
         ],
         axis=-1,
     )
-    if bus_backend == "kr":
+    if bus_backend == "kr_pallas":
+        from ...ops.bus_pallas import kr_scatter_pallas
+        agg = kr_scatter_pallas(line_contrib, line_contrib_to, fr, to,
+                                nbus=nbus)
+    elif bus_backend == "kr":
         agg = (kr_scatter(line_contrib, fr, nbus)
                + kr_scatter(line_contrib_to, to, nbus))
     else:

@@ -170,10 +170,20 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
     return sol.replace(u=Blocks(gen=u_gen, line=u_line), branch_alm=alm), stats
 
 
-def resolve_bus_backend(par, dtype):
+def resolve_bus_backend(par, dtype, nbus=None):
+    """"auto": the dense KR contraction is O(N * nbus * 8) MACs, so it only
+    beats the O(N)-rows-serial segment_sum while nbus is moderate (measured
+    crossover well above 9241-bus scale; 70k-bus grids fall back). The
+    Pallas variant additionally needs the (8*H, 128) accumulator + per-tile
+    KR product in VMEM and a TPU backend."""
     bb = getattr(par, "bus_backend", "auto")
     if bb == "auto":
-        bb = "kr" if dtype == jnp.float32 else "segsum"
+        if dtype == jnp.float32 and (nbus is None or nbus <= 16384):
+            import jax
+            bb = ("kr_pallas" if jax.default_backend() not in ("cpu",)
+                  else "kr")
+        else:
+            bb = "segsum"
     return bb
 
 
@@ -181,7 +191,8 @@ def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=No
     v = kernels.bus_update(
         sol.u, sol.z, sol.l, sol.rho, model.grid,
         Pd=Pd, Qd=Qd, axis_name=axis_name,
-        bus_backend=resolve_bus_backend(model.par, sol.u.gen.dtype))
+        bus_backend=resolve_bus_backend(model.par, sol.u.gen.dtype,
+                                        model.grid.nbus))
     return sol.replace(v=v)
 
 

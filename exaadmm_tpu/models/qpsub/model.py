@@ -309,7 +309,7 @@ class ModelQpsub:
                                Qd=self.Qd if Qd is None else Qd,
                                axis_name=axis_name,
                                bus_backend=resolve_bus_backend(
-                                   self.par, b.u.gen.dtype))
+                                   self.par, b.u.gen.dtype, self.grid.nbus))
         return sol.replace(base=b.replace(v=v), v_prev=b.v)
 
     def update_l_single(self, sol: SolutionQpsub):

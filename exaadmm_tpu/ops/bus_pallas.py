@@ -1,0 +1,117 @@
+"""Pallas TPU kernel for the bus-consensus line->bus scatter.
+
+The XLA ``kernels.kr_scatter`` path (Khatri-Rao one-hot matmuls) already
+beats ``segment_sum`` ~2x, but it materializes the (N, H*8) Khatri-Rao
+product D in HBM between the VPU build and the MXU contraction. This kernel
+fuses the whole reduction per line tile in VMEM:
+
+  per tile t (1024 lines):
+    hi = ids // 128, lo = ids % 128
+    D_hi[(n), (c, h)] = onehot(hi)[n, h] * bf16(vals)[n, c]      (VPU)
+    D_lo analogous with the bf16 remainder of vals               (VPU)
+    acc[(c, h), l] += D_hi^T @ onehot(lo) + D_lo^T @ onehot(lo)  (MXU)
+
+with acc a (8*H, 128) f32 VMEM scratch that lives across the sequential
+grid; the (c-major, h, lane) -> (bus, c) unscramble is one small XLA
+reshape/transpose on the (8*H, 128) output. The hi/lo split of the DATA
+operand is exact because the one-hot factor is 0/1 in bf16 (~16 mantissa
+bits end to end, same accuracy as the XLA kr path: ~3e-6 rel).
+
+Only worthwhile while H*8 stays small (nbus <= ~16k): the dense KR
+contraction is O(N * nbus * 8) MACs, so huge grids fall back to segment_sum
+(see kernels.resolve semantics in models/acopf/model.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+@functools.partial(jax.jit, static_argnames=("nbus", "tile", "interpret"))
+def kr_scatter_pallas(vals_fr, vals_to, fr, to, *, nbus: int,
+                      tile: int = 1024, interpret: bool = False):
+    """segment_sum(vals_fr, fr) + segment_sum(vals_to, to) over nbus segments.
+
+    vals_* are (N, C) fp32 (C = 8 here), fr/to (N,) int32 with padded lanes
+    pointing at masked-out (zero) rows. Returns (nbus, C) fp32.
+    """
+    N, C = vals_fr.shape
+    assert vals_fr.dtype == jnp.float32
+    Hn = -(-nbus // LANES)
+    ntiles = -(-N // tile)
+    pad = ntiles * tile - N
+
+    def pad_rows(a, fill=0.0):
+        if pad == 0:
+            return a
+        return jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+
+    vf = pad_rows(vals_fr)
+    vt = pad_rows(vals_to)
+    idf = jnp.pad(fr, (0, pad))[None].astype(jnp.int32)
+    idt = jnp.pad(to, (0, pad))[None].astype(jnp.int32)
+
+    def kernel(vf_ref, vt_ref, if_ref, it_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def side(vals_ref, ids_ref):
+            ids = ids_ref[0, :]                       # (tile,) i32
+            hi = ids // LANES
+            lo = ids % LANES
+            Ahi = (hi[:, None] == lax.broadcasted_iota(
+                jnp.int32, (tile, Hn), 1)).astype(jnp.bfloat16)
+            Alo = (lo[:, None] == lax.broadcasted_iota(
+                jnp.int32, (tile, LANES), 1)).astype(jnp.bfloat16)
+            v = vals_ref[...]                         # (tile, C) f32
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # D in c-major column order: D[:, c*Hn + h]
+            Dhi = jnp.concatenate(
+                [Ahi * v_hi[:, r:r + 1] for r in range(C)], axis=1)
+            Dlo = jnp.concatenate(
+                [Ahi * v_lo[:, r:r + 1] for r in range(C)], axis=1)
+
+            def dot(D):
+                return lax.dot_general(
+                    D, Alo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            return dot(Dhi) + dot(Dlo)                # (C*Hn, LANES)
+
+        acc_ref[...] += side(vf_ref, if_ref) + side(vt_ref, it_ref)
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C * Hn, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * Hn, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C * Hn, LANES), jnp.float32)],
+        interpret=interpret,
+    )(vf, vt, idf, idt)
+
+    # (c-major (c, h), lane) -> (bus = h*128 + lane, c)
+    agg = out.reshape(C, Hn, LANES).transpose(1, 2, 0).reshape(Hn * LANES, C)
+    return agg[:nbus]
