@@ -62,7 +62,7 @@ def main():
                      branch_tail_tiles=(int(os.environ["BENCH_TAIL"])
                                         if "BENCH_TAIL" in os.environ
                                         else None),
-                     sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
+                     sort_lines=os.environ.get("BENCH_SORT", "0") == "1",
                      inner_iterlim=INNER_ITERS,
                      outer_iterlim=outers,
                      outer_eps=0.0)  # never converge: fixed work per rep

@@ -6,7 +6,7 @@ a batched trust-region-Newton (TRON-style) augmented-Lagrangian branch solver,
 fully jitted inner ADMM loops, and jax.sharding-based multi-chip scaling.
 """
 
-from .interface.solve_acopf import solve_acopf
+from .interface.solve_acopf import solve_acopf, solve_acopf_from_env
 from .interface.solve_acopf_rolling import solve_acopf_rolling
 from .interface.solve_mpacopf import solve_mpacopf
 from .interface.solve_qpsub import solve_qpsub
@@ -20,6 +20,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "solve_acopf",
+    "solve_acopf_from_env",
     "solve_acopf_rolling",
     "solve_mpacopf",
     "solve_qpsub",

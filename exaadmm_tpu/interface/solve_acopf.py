@@ -138,3 +138,32 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def solve_acopf_from_env(env, **overrides):
+    """Re-run a solve from a recorded :class:`AdmmEnv`.
+
+    AdmmEnv is the provenance record every interface attaches to its result
+    (reference AdmmEnv, environment.jl:85-158); this makes it runnable —
+    ``solve_acopf_from_env(res.env)`` reproduces ``res`` (same case, rho
+    seeds, flags, and Parameters), with keyword ``overrides`` applied on
+    top."""
+    par = env.params
+    kwargs = dict(
+        rho_pq=env.initial_rho_pq,
+        rho_va=env.initial_rho_va,
+        use_linelimit=env.use_linelimit,
+        use_projection=env.use_projection,
+        tight_factor=env.tight_factor,
+        outer_iterlim=par.outer_iterlim,
+        inner_iterlim=par.inner_iterlim,
+        obj_scale=par.obj_scale,
+        scale=par.scale,
+        outer_eps=par.outer_eps,
+        initial_beta=par.initial_beta,
+        theta=par.theta,
+        inc_c=par.inc_c,
+        verbose=par.verbose,
+    )
+    kwargs.update(overrides)
+    return solve_acopf(env.case, **kwargs)

@@ -179,9 +179,7 @@ def resolve_bus_backend(par, dtype, nbus=None):
     bb = getattr(par, "bus_backend", "auto")
     if bb == "auto":
         if dtype == jnp.float32 and (nbus is None or nbus <= 16384):
-            import jax
-            bb = ("kr_pallas" if jax.default_backend() not in ("cpu",)
-                  else "kr")
+            bb = "kr"   # the fused kr_pallas variant measured slower; opt-in
         else:
             bb = "segsum"
     return bb

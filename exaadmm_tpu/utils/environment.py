@@ -85,8 +85,13 @@ class Parameters:
     # into the same Pallas tiles and easy tiles exit their lockstep loop
     # early (the per-lane step counts are heavily skewed: p50 ~3 steps,
     # stragglers ~30; random order puts a straggler in every tile). Exactly
-    # permutation-equivariant up to reduction rounding.
-    sort_lines: bool = True
+    # permutation-equivariant up to reduction rounding. Default OFF: with
+    # the two-pass compaction at pass-1 cap 2 the sort can only save one
+    # lockstep step per easy tile, which no longer covers the per-outer
+    # permutation cost (measured 959 vs 928 it/s at synth-9241, round 4);
+    # it predates the two-pass design and remains available for single-pass
+    # configs, where it is a large win.
+    sort_lines: bool = False
 
     # two-pass branch solve: pass 1 runs every tile with a small lockstep
     # budget (branch_pass1_cap); the unfinished stragglers are then compacted
@@ -147,7 +152,8 @@ class AdmmEnv:
     callers who want to carry the full context around: case name, parsed
     data, rho seeds, feature flags, and the Parameters block. Each interface
     fills its own flags: solve_mpacopf sets load_specified/horizon_length,
-    solve_acopf_mpec sets storage_ratio/droop.
+    solve_acopf_mpec sets storage_ratio/droop. It is runnable, not just a
+    record: ``interface.solve_acopf_from_env(env)`` re-solves from it.
     """
 
     case: str

@@ -109,3 +109,16 @@ def test_profile_iteration(case9_path):
     assert set(times) == {"x_update", "xbar_update", "z_update", "l_update",
                           "residual"}
     assert all(t > 0 for t in times.values())
+
+
+def test_solve_from_env_reproduces(case9_path):
+    """AdmmEnv is runnable, not just a provenance record: re-solving from a
+    result's env reproduces the trajectory exactly."""
+    from exaadmm_tpu import solve_acopf_from_env
+
+    res = solve_acopf(case9_path, outer_iterlim=6, rho_pq=4e2, rho_va=4e4,
+                      outer_eps=2e-5, verbose=0)
+    res2 = solve_acopf_from_env(res.env)
+    assert res2.info.outer == res.info.outer
+    assert res2.info.cumul == res.info.cumul
+    assert res2.info.objval == res.info.objval

@@ -47,7 +47,11 @@ def run_case(nbus: int, outers: int, eps: float):
         tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
         branch_backend="xla" if USE_F64 else "pallas",
         pallas_tile=1024,
-        sort_lines=os.environ.get("BENCH_SORT", "1") == "1",
+        sort_lines=os.environ.get("BENCH_SORT", "0") == "1",
+        bus_backend=os.environ.get("BENCH_BUS", "auto"),
+        tron_trial_unroll=(tuple(
+            int(v) for v in os.environ["BENCH_UNROLL"].split(","))
+            if "BENCH_UNROLL" in os.environ else "auto"),
         inner_iterlim=int(os.environ.get("BENCH_INNER", 20)),
         outer_iterlim=outers,
         outer_eps=eps,
@@ -98,7 +102,9 @@ def main():
         "config": {
             "tron_step_cap": int(os.environ.get("BENCH_STEP_CAP", 12)),
             "inner_iterlim": int(os.environ.get("BENCH_INNER", 20)),
-            "sort_lines": os.environ.get("BENCH_SORT", "1") == "1",
+            "sort_lines": os.environ.get("BENCH_SORT", "0") == "1",
+            "bus_backend": os.environ.get("BENCH_BUS", "auto"),
+            "trial_unroll": os.environ.get("BENCH_UNROLL"),
             "backend": "xla" if USE_F64 else "pallas",
         },
         "cases": [run_case(nbus, outers, eps) for nbus in cases],
