@@ -31,7 +31,9 @@ PIN_OUTER = 20
 PIN_CUMUL = 1281
 # measured under the test env (conftest: 8 virtual CPU devices — reduction
 # layouts differ from the 1-device run at the ~1e-8 relative level)
-PIN_OBJ = 129638.35299896207
+# re-pinned after sort_lines default flipped to False in round 4 (counts
+# unchanged; objective shifted 5e-9 rel from reduction-order rounding)
+PIN_OBJ = 129638.35360544993
 
 
 @pytest.mark.slow

@@ -30,6 +30,10 @@ def test_synthetic_admm_converges_under_two_pass_truncation():
     par = Parameters(verbose=0, outer_iterlim=20, inner_iterlim=200,
                      tron_step_cap=48,
                      pallas_tile=16, branch_tail_tiles=1,
+                     # the tiny 16-lane tail is a deliberate truncation stress
+                     # (~3x beyond production); it needs the difficulty sort
+                     # to cluster stragglers into the tail window
+                     sort_lines=True,
                      branch_two_pass=True)  # pass-1 budget: production default
     model = M.build_model(data, par)
     assert model.grid.nline_padded >= 4 * 16  # two-pass gate open

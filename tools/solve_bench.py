@@ -52,7 +52,7 @@ def run_case(nbus: int, outers: int, eps: float):
         tron_trial_unroll=(tuple(
             int(v) for v in os.environ["BENCH_UNROLL"].split(","))
             if "BENCH_UNROLL" in os.environ else "auto"),
-        inner_iterlim=int(os.environ.get("BENCH_INNER", 20)),
+        inner_iterlim=int(os.environ.get("BENCH_INNER", 1000)),
         outer_iterlim=outers,
         outer_eps=eps,
     )
@@ -101,7 +101,7 @@ def main():
         "outer_iterlim": outers,
         "config": {
             "tron_step_cap": int(os.environ.get("BENCH_STEP_CAP", 12)),
-            "inner_iterlim": int(os.environ.get("BENCH_INNER", 20)),
+            "inner_iterlim": int(os.environ.get("BENCH_INNER", 1000)),
             "sort_lines": os.environ.get("BENCH_SORT", "0") == "1",
             "bus_backend": os.environ.get("BENCH_BUS", "auto"),
             "trial_unroll": os.environ.get("BENCH_UNROLL"),
