@@ -97,6 +97,9 @@ def main():
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / BASELINE_ITERS_PER_SEC, 3),
+        # two-pass inexactness of the last dispatch's final iteration
+        "pass1_unfinished": int(out.pass1_unfinished),
+        "tail_overflow": int(out.tail_overflow),
         # effective knobs, so cross-round artifacts are self-describing
         # (the step-cap default changed 24 -> 12 in round 3)
         "config": {

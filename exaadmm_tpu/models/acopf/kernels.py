@@ -75,14 +75,30 @@ def kr_scatter(vals, ids, nbus: int):
         jnp.bfloat16)
     n, W = vals.shape
     D = (Ahi[:, :, None] * vals[:, None, :]).reshape(n, Hn * W)
-    Dhi = D.astype(jnp.bfloat16)
-    Dlo = (D - Dhi.astype(dt)).astype(jnp.bfloat16)
+    # three-term bf16 split of the data operand (~24 mantissa bits, i.e.
+    # full fp32): the 2-term split's ~3e-6 aggregation error is NOT benign —
+    # it acts as persistent noise in the consensus step, floors the inner
+    # primal residual, and measurably degrades full-solve convergence at
+    # 9241 scale (mismatch 1.14 vs 0.13 at the 20-outer limit, with 1.4x
+    # the inner iterations). The one-hot operand is exact in bf16.
+    # optimization_barrier around each bf16 term: under jit, XLA's
+    # excess-precision simplifier treats f32->bf16->f32 round-trips as
+    # value-preserving and cancels `D - f32(bf16(D))` to zero, silently
+    # collapsing the split to a single bf16 pass (observed: consensus error
+    # jumped to bf16-grade ~2e-3, which the 2x2 bus solve amplifies by ~rho,
+    # flooring the inner primal residual at ~5e-2 so eps_pri was never
+    # reached again — eager/unfused runs don't fire the pass, which is why
+    # standalone accuracy checks passed at 6e-8).
+    D1 = jax.lax.optimization_barrier(D.astype(jnp.bfloat16))
+    r1 = D - D1.astype(dt)
+    D2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    D3 = (r1 - D2.astype(dt)).astype(jnp.bfloat16)
 
     def dot(a):
         return jax.lax.dot_general(a, Alo, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    agg = dot(Dhi) + dot(Dlo)
+    agg = dot(D1) + dot(D2) + dot(D3)
     agg = agg.reshape(Hn, W, Lw).transpose(0, 2, 1).reshape(Hn * Lw, W)
     return agg[:nbus].astype(dt)
 
