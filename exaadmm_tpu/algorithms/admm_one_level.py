@@ -114,6 +114,13 @@ def admm_one_level(model, sol, info: IterationInformation | None = None,
     t0 = time.perf_counter()
     if par.verbose > 0 and not external_run:
         # host-stepped loop for visibility (one readback per iteration)
+        if outer_iterlim > 500:
+            # one-level solves routinely run thousands of iterations
+            # (reference qpsub case9: 5107); per-iteration dispatch costs
+            # ~100x the fused on-device loop on a remote TPU
+            print(" [admm_one_level] verbose>0 steps the solver one dispatch "
+                  "per iteration for visibility; use verbose=0 for the fused "
+                  "single-dispatch production path")
         step = jax.jit(one_iteration)
         c = _carry0(sol, dtype)
         print(f"{'Iter':>8} {'Objval':>12} {'AugLag':>12} {'PrimRes':>10} "
