@@ -127,3 +127,48 @@ def test_mpacopf_fused_sharded(case9_path, cpu_mesh):
     assert iN.objval == pytest.approx(i1.objval, rel=1e-6)
     np.testing.assert_allclose(np.asarray(sN.acopf.u.gen),
                                np.asarray(s1.acopf.u.gen), atol=1e-7)
+
+
+def test_sharded_fused_solve_kr_bus_backend(case9_path):
+    """The KR-matmul bus scatter composes with the shard_map line partition:
+    per-shard KR aggregates + one psum give the same solve as segsum."""
+    import jax.numpy as jnp
+    from exaadmm_tpu.algorithms.admm_two_level import admm_two_level_fused
+    from exaadmm_tpu.models.acopf import model as M
+    from exaadmm_tpu.parallel.sharding import make_mesh, make_sharded_fused_solver
+    from exaadmm_tpu.utils.environment import IterationInformation, Parameters
+    from exaadmm_tpu.utils.opfdata import opf_loaddata
+
+    data = opf_loaddata(case9_path, verbose=0)
+    results = {}
+    for bb in ("segsum", "kr"):
+        par = Parameters(verbose=0, outer_iterlim=12, outer_eps=2e-4,
+                         scale=1e-4, bus_backend=bb)
+        model = M.build_model(data, par, pad_lines_to=8, dtype=jnp.float32)
+        sol = M.init_solution(model, 4e2, 4e4)
+        mesh = make_mesh(8)
+        run = make_sharded_fused_solver(model, mesh)
+        sol, info = admm_two_level_fused(model, sol, IterationInformation(),
+                                         run=run)
+        results[bb] = info
+    a, b = results["segsum"], results["kr"]
+    assert a.outer == b.outer
+    # fp32 reduction orders differ between backends; trajectories must stay
+    # in lockstep at the iteration level and land on the same objective
+    assert abs(a.cumul - b.cumul) <= 0.02 * a.cumul + 2
+    assert abs(a.objval - b.objval) <= 1e-3 * abs(a.objval)
+
+
+def test_bus_backend_auto_resolution():
+    """auto: KR only for fp32 at moderate nbus (the dense KR contraction is
+    O(N*nbus*8)); fp64 and huge grids use exact segment_sum."""
+    import jax.numpy as jnp
+    from exaadmm_tpu.models.acopf.model import resolve_bus_backend
+    from exaadmm_tpu.utils.environment import Parameters
+
+    par = Parameters()
+    assert resolve_bus_backend(par, jnp.float32, 9241) == "kr"
+    assert resolve_bus_backend(par, jnp.float64, 9241) == "segsum"
+    assert resolve_bus_backend(par, jnp.float32, 70656) == "segsum"
+    par2 = Parameters(bus_backend="segsum")
+    assert resolve_bus_backend(par2, jnp.float32, 9241) == "segsum"
