@@ -59,11 +59,11 @@ def kr_scatter(vals, ids, nbus: int):
 
     The data operand is split hi/lo into two bf16 passes (the one-hot side
     is exact in bf16), giving ~16 mantissa bits: measured max rel error
-    ~3e-6 vs 1e-7 for fp32 segment_sum (tools/bus_bench.py) — below the
-    fp32 solver tolerance floors (40-300 ulp). Measured ~2x faster than
-    segment_sum at 9241-bus/15.7k-line scale. One-hots are rebuilt from
-    ``ids`` each call (~1 us) so dynamic line permutations (sort_lines)
-    compose for free.
+    <=1.2e-7 — at fp32 segment_sum's own accuracy. Scatter-op microbenches
+    show ~2x over row-serial segment_sum; end-to-end the fused solver gains
+    ~2% (in-process interleaved A/B, tools/ab_bench.py) since the scatter is
+    one piece of the bus update. One-hots are rebuilt from ``ids`` each call
+    (~1 us) so dynamic line permutations (sort_lines) compose for free.
     """
     Lw = 128
     Hn = -(-nbus // Lw)

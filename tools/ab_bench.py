@@ -32,7 +32,11 @@ def parse_val(v):
     try:
         return int(v)
     except ValueError:
+        pass
+    try:
         return float(v)
+    except ValueError:
+        return v  # plain string field (e.g. bus_backend)
 
 
 def main():
