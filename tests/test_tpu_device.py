@@ -159,3 +159,32 @@ def test_synth300_converges_fp32_production(synth300):
     assert info.status == "Solved"
     assert info.mismatch <= np.sqrt(2 * model.grid.ngen
                                     + 8 * model.grid.nline) * par.outer_eps
+
+
+def test_kr_scatter_precision_survives_jit_on_device():
+    """Regression guard for the round-4 precision collapse: XLA:TPU's
+    excess-precision simplifier cancelled the bf16 split residuals
+    (`D - f32(bf16(D))` -> 0) INSIDE jit, silently degrading the KR scatter
+    to one bf16 pass while eager accuracy checks stayed clean. The
+    optimization_barrier in kernels.kr_scatter pins the split; this asserts
+    in-jit accuracy stays at fp32 level on real hardware."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from exaadmm_tpu.models.acopf.kernels import kr_scatter
+
+    rng = np.random.default_rng(3)
+    N, NBUS = 4096, 900
+    vals = jnp.asarray(rng.standard_normal((N, 8)) * 1e4, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, NBUS, N), jnp.int32)
+
+    @jax.jit
+    def agg(v):
+        return kr_scatter(v, ids, NBUS)
+
+    got = np.asarray(agg(vals))
+    ref = np.zeros((NBUS, 8))
+    np.add.at(ref, np.asarray(ids), np.asarray(vals, np.float64))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6, f"KR scatter precision degraded under jit: {rel:.2e}"
