@@ -289,7 +289,6 @@ def tron_alm_batched(
         # --- Cauchy point (dcauchy): warm-started alpha ---
         a0 = jnp.maximum(alpha_c, 1e-30)
         need_interp = ~cauchy_ok(a0)
-        fone = jnp.ones((B,), dtype)
 
         if trial_unroll is not None:
             # Fixed-trip masked searches: inside a Pallas kernel the
@@ -318,37 +317,43 @@ def tron_alm_batched(
                 prefix = prefix & cauchy_ok(cand) & (cand < 1e12)
                 a_extrap = jnp.where(prefix, cand, a_extrap)
         else:
-            def interp_cond(carry):
-                a, stop, k = carry
+            # Interpolation (a *= 0.1 until acceptable) and extrapolation
+            # (a *= 10 while acceptable) are mutually exclusive per lane, so
+            # run them as ONE lockstep loop with a per-lane factor: each
+            # lane's candidate sequence is unchanged (bit-identical results)
+            # but the trip count is max(interp, extrap) instead of their
+            # sum — one less data-dependent while-loop per TR step, whose
+            # scalar-core control overhead is a measurable share of the
+            # Pallas kernel's per-step cost.
+            factor = jnp.where(need_interp, _INTERPF, _EXTRAPF)
+
+            def cauchy_cond(carry):
+                a_best, cand, stop, k = carry
                 return jnp.any(stop < 0.5) & (k < _CAUCHY_ITERS)
 
-            def interp_body(carry):
-                a, stop, k = carry
+            def cauchy_body(carry):
+                a_best, cand, stop, k = carry
                 stopb = stop > 0.5
-                a2 = jnp.where(stopb, a, a * _INTERPF)
-                stop2 = stopb | cauchy_ok(a2)
-                return a2, stop2.astype(dtype), k + 1
+                cand2 = cand * factor
+                ok = cauchy_ok(cand2)
+                # interp lanes: track every candidate while searching (the
+                # reference keeps the last trial even if the cap is hit),
+                # stop at the first acceptable one
+                take_i = need_interp & ~stopb
+                # extrap lanes: keep the LAST acceptable candidate, stop on
+                # the first failure (or the growth cap / trip cap)
+                good_e = ok & (cand2 < 1e12)
+                take_e = ~need_interp & ~stopb & good_e
+                a_best = jnp.where(take_i | take_e, cand2, a_best)
+                stop2 = jnp.where(
+                    need_interp, stopb | ok,
+                    stopb | ~good_e | (k + 1 >= _EXTRAP_ITERS))
+                return a_best, cand2, stop2.astype(dtype), k + 1
 
-            a_interp, _, _ = lax.while_loop(
-                interp_cond, interp_body,
-                (a0, fone - need_interp.astype(dtype),
-                 jnp.zeros((), jnp.int32)))
-
-            def extrap_cond(carry):
-                a, stop, k = carry
-                return jnp.any(stop < 0.5) & (k < _EXTRAP_ITERS)
-
-            def extrap_body(carry):
-                a_good, stop, k = carry
-                stopb = stop > 0.5
-                a_try = a_good * _EXTRAPF
-                good = cauchy_ok(a_try) & (a_try < 1e12)
-                a2 = jnp.where(good & ~stopb, a_try, a_good)
-                return a2, (stopb | ~good).astype(dtype), k + 1
-
-            a_extrap, _, _ = lax.while_loop(
-                extrap_cond, extrap_body,
-                (a0, need_interp.astype(dtype), jnp.zeros((), jnp.int32)))
+            alpha0, _, _, _ = lax.while_loop(
+                cauchy_cond, cauchy_body,
+                (a0, a0, jnp.zeros((B,), dtype), jnp.zeros((), jnp.int32)))
+            a_interp = a_extrap = alpha0
         alpha = jnp.where(need_interp, a_interp, a_extrap)
         sc = s_of(alpha)
         xc = x + sc
