@@ -325,7 +325,11 @@ def tron_alm_batched(
             # sum — one less data-dependent while-loop per TR step, whose
             # scalar-core control overhead is a measurable share of the
             # Pallas kernel's per-step cost.
-            factor = jnp.where(need_interp, _INTERPF, _EXTRAPF)
+            # float masks, not bool vectors: Mosaic cannot legalize selects
+            # over i1 vectors inside Pallas loop bodies (same reason _State
+            # carries 0/1 floats)
+            needf = need_interp.astype(dtype)
+            factor = needf * _INTERPF + (1.0 - needf) * _EXTRAPF
 
             def cauchy_cond(carry):
                 a_best, cand, stop, k = carry
@@ -334,21 +338,23 @@ def tron_alm_batched(
             def cauchy_body(carry):
                 a_best, cand, stop, k = carry
                 stopb = stop > 0.5
+                needb = needf > 0.5
                 cand2 = cand * factor
                 ok = cauchy_ok(cand2)
                 # interp lanes: track every candidate while searching (the
                 # reference keeps the last trial even if the cap is hit),
                 # stop at the first acceptable one
-                take_i = need_interp & ~stopb
+                take_i = needb & ~stopb
                 # extrap lanes: keep the LAST acceptable candidate, stop on
                 # the first failure (or the growth cap / trip cap)
                 good_e = ok & (cand2 < 1e12)
-                take_e = ~need_interp & ~stopb & good_e
+                take_e = ~needb & ~stopb & good_e
                 a_best = jnp.where(take_i | take_e, cand2, a_best)
-                stop2 = jnp.where(
-                    need_interp, stopb | ok,
-                    stopb | ~good_e | (k + 1 >= _EXTRAP_ITERS))
-                return a_best, cand2, stop2.astype(dtype), k + 1
+                stop_i = (stopb | ok).astype(dtype)
+                stop_e = (stopb | ~good_e
+                          | (k + 1 >= _EXTRAP_ITERS)).astype(dtype)
+                stop2 = jnp.where(needb, stop_i, stop_e)
+                return a_best, cand2, stop2, k + 1
 
             alpha0, _, _, _ = lax.while_loop(
                 cauchy_cond, cauchy_body,
