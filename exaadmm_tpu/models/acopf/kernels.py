@@ -103,9 +103,105 @@ def kr_scatter(vals, ids, nbus: int):
     return agg[:nbus].astype(dt)
 
 
+def build_kr_window_setup(fr, to, nbus: int, *, A: int = 1024, S: int = 512):
+    """Static setup for the WINDOWED KR scatter (large-grid variant).
+
+    The dense KR contraction is O(N * nbus * C) MACs, which loses to
+    segment_sum beyond ~16k buses. Sorting the 2N line ENDS ("arcs") by bus
+    id makes every A-arc tile touch a narrow bus window, so the contraction
+    shrinks to O(N * W * C) with W the window width: per iteration one
+    2N-row permutation gather puts the contributions in arc order (gathers
+    are ~2.5x cheaper than scatters at this scale), then batched per-tile
+    KR matmuls accumulate into slot-aligned (S = W/2) output slabs that
+    combine with a single shifted add. Window starts are S-aligned so
+    consecutive tiles write disjoint-or-identical slots.
+
+    Returns None when a degree spike blows the largest window past 4096
+    (caller falls back to segment_sum); otherwise a dict of static arrays.
+    """
+    import numpy as np
+
+    fr = np.asarray(fr)
+    to = np.asarray(to)
+    arcs = np.concatenate([fr, to])
+    n2 = arcs.shape[0]
+    order = np.argsort(arcs, kind="stable")
+    bus_sorted = arcs[order]
+    T = -(-n2 // A)
+    pad = T * A - n2
+    # padded arc slots read a dedicated all-zero row appended to the values
+    order_p = np.concatenate([order, np.full(pad, n2, np.int64)])
+    bus_p = np.concatenate([bus_sorted,
+                            np.full(pad, bus_sorted[-1], bus_sorted.dtype)])
+    starts = bus_p[np.arange(T) * A]
+    ends = bus_p[np.minimum(np.arange(T) * A + A - 1, T * A - 1)]
+    W = 2 * S
+    while W <= 4096 and not (ends < (starts // S) * S + W).all():
+        W *= 2
+    if W > 4096:
+        return None
+    ws = (starts // S) * S
+    slot = (ws // S).astype(np.int32)
+    K = int(slot.max()) + 2
+    local = bus_p.reshape(T, A) - ws[:, None]
+    hi = (local // 128).astype(np.int32)          # [0, W/128)
+    lo = (local % 128).astype(np.int32)
+    Hw = W // 128
+    # one-hot factors as static bf16 constants (exact for 0/1)
+    Ahi = (hi[:, :, None] == np.arange(Hw)[None, None, :])
+    Alo = (lo[:, :, None] == np.arange(128)[None, None, :])
+    return {
+        "order": jnp.asarray(order_p, jnp.int32),
+        "Ahi": jnp.asarray(Ahi, jnp.bfloat16),
+        "Alo": jnp.asarray(Alo, jnp.bfloat16),
+        "slot": jnp.asarray(slot, jnp.int32),
+        "T": T, "A": A, "S": S, "W": W, "Hw": Hw, "K": K,
+    }
+
+
+def kr_scatter_windowed(vals_fr, vals_to, setup, nbus: int):
+    """segment_sum(vals_fr, fr) + segment_sum(vals_to, to) via windowed KR
+    matmuls over bus-sorted arcs (see build_kr_window_setup)."""
+    T, A, S, Hw, K = (setup["T"], setup["A"], setup["S"], setup["Hw"],
+                      setup["K"])
+    n, C = vals_fr.shape
+    dt = vals_fr.dtype
+    big = jnp.concatenate(
+        [vals_fr, vals_to, jnp.zeros((1, C), dt)], axis=0)
+    v = big[setup["order"]].reshape(T, A, C)
+    Ahi, Alo = setup["Ahi"], setup["Alo"]
+
+    # D[t, a, (c, h)] = v[t, a, c] * Ahi[t, a, h], c-major columns
+    D = (v[:, :, :, None] * Ahi.astype(dt)[:, :, None, :]).reshape(
+        T, A, C * Hw)
+    # 3-term bf16 split with optimization barriers — same precision story as
+    # kr_scatter (XLA would otherwise cancel the residuals under jit)
+    D1 = jax.lax.optimization_barrier(D.astype(jnp.bfloat16))
+    r1 = D - D1.astype(dt)
+    D2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    D3 = (r1 - D2.astype(dt)).astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot_general(
+            a, Alo, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    out = dot(D1) + dot(D2) + dot(D3)               # (T, C*Hw, 128)
+    slabs = jops.segment_sum(out.reshape(T, -1), setup["slot"],
+                             num_segments=K).reshape(K, C, Hw, 128)
+    lower = slabs[:, :, : Hw // 2, :]
+    upper = slabs[:, :, Hw // 2:, :]
+    upper_shift = jnp.concatenate(
+        [jnp.zeros_like(upper[:1]), upper[:-1]], axis=0)
+    block = lower + upper_shift                      # (K, C, Hw/2, 128)
+    agg = block.transpose(0, 2, 3, 1).reshape(K * S, C)
+    return agg[:nbus].astype(dt)
+
+
 def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
                Pd=None, Qd=None, axis_name: str | None = None,
-               ramp=None, bus_backend: str = "segsum") -> Blocks:
+               ramp=None, bus_backend: str = "segsum",
+               kr_win_setup=None) -> Blocks:
     """Bus consensus (xbar) update; returns the new v Blocks.
 
     Vectorised form of acopf_bus_kernel_cpu.jl:12-116. Per bus the optimality
@@ -169,7 +265,11 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
         ],
         axis=-1,
     )
-    if bus_backend == "kr_pallas":
+    if bus_backend == "kr_win":
+        assert kr_win_setup is not None, "kr_win needs build_kr_window_setup"
+        agg = kr_scatter_windowed(line_contrib, line_contrib_to,
+                                  kr_win_setup, nbus)
+    elif bus_backend == "kr_pallas":
         from ...ops.bus_pallas import kr_scatter_pallas
         agg = kr_scatter_pallas(line_contrib, line_contrib_to, fr, to,
                                 nbus=nbus)

@@ -95,7 +95,14 @@ def build_model(
     gd = build_grid_data(
         data, tight_factor=tight_factor, pad_lines_to=pad_lines_to, dtype=dtype
     )
-    return ModelAcopf(grid=gd, par=par, use_linelimit=use_linelimit)
+    model = ModelAcopf(grid=gd, par=par, use_linelimit=use_linelimit)
+    if resolve_bus_backend(par, gd.pgmin.dtype, gd.nbus) == "kr_win":
+        # static windowed-KR setup needs concrete ids: compute at build time
+        # (inside a jit trace they are tracers; replaced/sharded models fall
+        # back to segment_sum via update_xbar)
+        model._kr_win_setup = kernels.build_kr_window_setup(
+            gd.line_from, gd.line_to, gd.nbus)
+    return model
 
 
 def init_solution(model: ModelAcopf, rho_pq: float, rho_va: float) -> Solution:
@@ -172,25 +179,33 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
 
 def resolve_bus_backend(par, dtype, nbus=None):
     """"auto": the dense KR contraction is O(N * nbus * 8) MACs, so it only
-    beats the O(N)-rows-serial segment_sum while nbus is moderate (measured
-    crossover well above 9241-bus scale; 70k-bus grids fall back). The
-    Pallas variant additionally needs the (8*H, 128) accumulator + per-tile
-    KR product in VMEM and a TPU backend."""
+    beats the O(N)-rows-serial segment_sum while nbus is moderate; beyond
+    ~16k buses the WINDOWED variant (bus-sorted arcs, O(N * W * 8)) takes
+    over when its static setup exists (falls back to exact segment_sum
+    otherwise — e.g. under shard_map local models, or on degree spikes).
+    The fused kr_pallas variant measured slower and stays opt-in."""
     bb = getattr(par, "bus_backend", "auto")
     if bb == "auto":
-        if dtype == jnp.float32 and (nbus is None or nbus <= 16384):
-            bb = "kr"   # the fused kr_pallas variant measured slower; opt-in
-        else:
+        if dtype != jnp.float32:
             bb = "segsum"
+        elif nbus is None or nbus <= 16384:
+            bb = "kr"
+        else:
+            bb = "kr_win"
     return bb
 
 
 def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=None):
+    bb = resolve_bus_backend(model.par, sol.u.gen.dtype, model.grid.nbus)
+    setup = getattr(model, "_kr_win_setup", None)
+    if bb == "kr_win" and setup is None:
+        # no precomputed static window setup (sharded local model, or a
+        # degree spike at build): exact fallback
+        bb = "segsum"
     v = kernels.bus_update(
         sol.u, sol.z, sol.l, sol.rho, model.grid,
         Pd=Pd, Qd=Qd, axis_name=axis_name,
-        bus_backend=resolve_bus_backend(model.par, sol.u.gen.dtype,
-                                        model.grid.nbus))
+        bus_backend=bb, kr_win_setup=setup)
     return sol.replace(v=v)
 
 

@@ -144,3 +144,30 @@ def test_closed_form_kernels_exact_from_golden_u(one_iter):
     v = kernels.bus_update(u_gold, sol0.z, sol0.l, sol0.rho, model.grid)
     np.testing.assert_allclose(np.asarray(v.gen), V_GEN, atol=2e-6)
     np.testing.assert_allclose(np.asarray(v.line), V_BR, atol=2e-6)
+
+
+def test_kr_windowed_scatter_matches_segsum():
+    """Windowed KR scatter (large-grid bus backend) is fp32-exact against
+    segment_sum, including the padded-arc tail and slot-boundary combine."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from exaadmm_tpu.models.acopf.kernels import (build_kr_window_setup,
+                                                  kr_scatter_windowed)
+
+    rng = np.random.default_rng(11)
+    N, NBUS = 7321, 4999  # deliberately non-multiples of the tile/slot sizes
+    fr = rng.integers(0, NBUS, N).astype(np.int32)
+    to = rng.integers(0, NBUS, N).astype(np.int32)
+    setup = build_kr_window_setup(fr, to, NBUS)
+    assert setup is not None
+    vf = jnp.asarray(rng.standard_normal((N, 8)) * 1e3, jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((N, 8)) * 1e3, jnp.float32)
+
+    got = np.asarray(jax.jit(
+        lambda a, b: kr_scatter_windowed(a, b, setup, NBUS))(vf, vt))
+    ref = np.zeros((NBUS, 8))
+    np.add.at(ref, fr, np.asarray(vf, np.float64))
+    np.add.at(ref, to, np.asarray(vt, np.float64))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6

@@ -169,6 +169,8 @@ def test_bus_backend_auto_resolution():
     par = Parameters()
     assert resolve_bus_backend(par, jnp.float32, 9241) == "kr"
     assert resolve_bus_backend(par, jnp.float64, 9241) == "segsum"
-    assert resolve_bus_backend(par, jnp.float32, 70656) == "segsum"
+    # huge grids: windowed KR over bus-sorted arcs (falls back to segsum at
+    # the call site when no static setup was precomputed)
+    assert resolve_bus_backend(par, jnp.float32, 70656) == "kr_win"
     par2 = Parameters(bus_backend="segsum")
     assert resolve_bus_backend(par2, jnp.float32, 9241) == "segsum"
