@@ -179,19 +179,19 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
 
 def resolve_bus_backend(par, dtype, nbus=None):
     """"auto": the dense KR contraction is O(N * nbus * 8) MACs, so it only
-    beats the O(N)-rows-serial segment_sum while nbus is moderate; beyond
-    ~16k buses the WINDOWED variant (bus-sorted arcs, O(N * W * 8)) takes
-    over when its static setup exists (falls back to exact segment_sum
-    otherwise — e.g. under shard_map local models, or on degree spikes).
-    The fused kr_pallas variant measured slower and stays opt-in."""
+    beats the O(N)-rows-serial segment_sum while nbus is moderate (kr wins
+    ~2% end-to-end at 9241 buses, in-process A/B). Beyond ~16k buses both
+    KR forms lose: the windowed variant ("kr_win", bus-sorted arcs,
+    O(N * W * 8) matmuls) measured 79.4 vs segment_sum's 84.9 it/s at
+    synthetic-70k in the same interleaved A/B — its 2N-row permutation
+    gather plus the (T, A, C*Hw) Khatri-Rao materialization outweigh the
+    scatter saving. Both stay available as explicit opt-ins."""
     bb = getattr(par, "bus_backend", "auto")
     if bb == "auto":
-        if dtype != jnp.float32:
-            bb = "segsum"
-        elif nbus is None or nbus <= 16384:
+        if dtype == jnp.float32 and nbus is not None and nbus <= 16384:
             bb = "kr"
         else:
-            bb = "kr_win"
+            bb = "segsum"
     return bb
 
 
