@@ -53,6 +53,7 @@ def solve_acopf(
     tron_step_cap: int | None = None,
     branch_backend: str = "xla",
     pallas_tile: int = 1024,
+    bus_backend: str = "auto",
     initial_beta: float = 1e3,
     # outer-penalty escalation threshold (reference theta=0.8,
     # admm_two_level.jl:74). Iteration counts are sensitive to where the
@@ -88,6 +89,7 @@ def solve_acopf(
         tron_step_cap=tron_step_cap,
         branch_backend=branch_backend,
         pallas_tile=pallas_tile,
+        bus_backend=bus_backend,
     )
 
     device_ctx = (
@@ -164,6 +166,13 @@ def solve_acopf_from_env(env, **overrides):
         theta=par.theta,
         inc_c=par.inc_c,
         verbose=par.verbose,
+        # backend/cap knobs change the trajectory (truncation, reduction
+        # order) — a recorded run with non-default values must re-solve with
+        # the same ones
+        tron_step_cap=par.tron_step_cap,
+        branch_backend=par.branch_backend,
+        pallas_tile=par.pallas_tile,
+        bus_backend=par.bus_backend,
     )
     kwargs.update(overrides)
     return solve_acopf(env.case, **kwargs)

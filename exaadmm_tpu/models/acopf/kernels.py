@@ -142,7 +142,9 @@ def build_kr_window_setup(fr, to, nbus: int, *, A: int = 1024, S: int = 512):
         return None
     ws = (starts // S) * S
     slot = (ws // S).astype(np.int32)
-    K = int(slot.max()) + 2
+    # shifted chunks j=0..W/S-1 land in slots slot..slot+W/S-1: size K so the
+    # widest window fits (W can double past 2*S on degree spikes)
+    K = int(slot.max()) + W // S
     local = bus_p.reshape(T, A) - ws[:, None]
     hi = (local // 128).astype(np.int32)          # [0, W/128)
     lo = (local % 128).astype(np.int32)
@@ -189,11 +191,16 @@ def kr_scatter_windowed(vals_fr, vals_to, setup, nbus: int):
     out = dot(D1) + dot(D2) + dot(D3)               # (T, C*Hw, 128)
     slabs = jops.segment_sum(out.reshape(T, -1), setup["slot"],
                              num_segments=K).reshape(K, C, Hw, 128)
-    lower = slabs[:, :, : Hw // 2, :]
-    upper = slabs[:, :, Hw // 2:, :]
-    upper_shift = jnp.concatenate(
-        [jnp.zeros_like(upper[:1]), upper[:-1]], axis=0)
-    block = lower + upper_shift                      # (K, C, Hw/2, 128)
+    # combine: each slab spans W = m*S buses starting at its slot; chunk j
+    # (S buses wide, Hs = S/128 rows) therefore adds into output slot
+    # slot+j — shift chunk j down by j slots and sum
+    m = setup["W"] // S
+    Hs = Hw // m
+    block = slabs[:, :, :Hs, :]
+    for j in range(1, m):
+        chunk = slabs[:, :, j * Hs:(j + 1) * Hs, :]
+        block = block + jnp.concatenate(
+            [jnp.zeros_like(chunk[:j]), chunk[:-j]], axis=0)
     agg = block.transpose(0, 2, 3, 1).reshape(K * S, C)
     return agg[:nbus].astype(dt)
 

@@ -62,13 +62,19 @@ def solve_pf_core(
     data: OPFData,
     vm0, va0, pg0, qg0,
     *,
+    Pd=None,
+    Qd=None,
     tol: float = 1e-6,
     max_iter: int = 50,
     verbose: int = 0,
 ) -> PowerFlowResult:
     """NR on the mismatch S_inj(V) - S_gen + S_load = 0 with the standard
     PV/PQ/slack partition; pg/qg enter as fixed injections (reference keeps
-    them out of the solved columns, solve_pf.jl rslice/cslice)."""
+    them out of the solved columns, solve_pf.jl rslice/cslice).
+
+    ``Pd``/``Qd`` override the base-case loads — required for multi-period
+    projection, where each period must be projected onto its own power flow
+    (mpacopf ``admm_poststep`` uses that period's load columns)."""
     nb = data.nbus
     Ybus = build_ybus(data)
     bt = data.bus_type
@@ -81,7 +87,11 @@ def solve_pf_core(
         (np.ones(data.ngen), (data.gen_bus, np.arange(data.ngen))),
         shape=(nb, data.ngen),
     ).tocsr()
-    Sload = (data.Pd + 1j * data.Qd) / data.baseMVA
+    if Pd is None:
+        Pd = data.Pd
+    if Qd is None:
+        Qd = data.Qd
+    Sload = (Pd + 1j * Qd) / data.baseMVA
 
     vm = vm0.copy()
     va = va0.copy()

@@ -55,8 +55,8 @@ def pf_projection(data: OPFData, model, sol, Pd=None, Qd=None,
     #    pf_projection.jl:33)
     pg0 = u_gen[:, 0].copy()
     qg0 = u_gen[:, 1].copy()
-    res = solve_pf_core(data, vm, va, pg0, qg0, tol=tol, max_iter=max_iter,
-                        verbose=verbose)
+    res = solve_pf_core(data, vm, va, pg0, qg0, Pd=Pd, Qd=Qd, tol=tol,
+                        max_iter=max_iter, verbose=verbose)
     vm, va = res.vm, res.va
 
     # 3. write voltages back into the line consensus copies

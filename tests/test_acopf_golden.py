@@ -171,3 +171,31 @@ def test_kr_windowed_scatter_matches_segsum():
     np.add.at(ref, to, np.asarray(vt, np.float64))
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 1e-6
+
+
+def test_kr_windowed_scatter_wide_window():
+    """Sparse arcs over many buses force the window past 2*S (W doubles to
+    2048 here); the multi-chunk slot combine must stay exact (advisor r4:
+    the 2-half combine crashed at trace time for W != 2*S)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from exaadmm_tpu.models.acopf.kernels import (build_kr_window_setup,
+                                                  kr_scatter_windowed)
+
+    rng = np.random.default_rng(7)
+    N, NBUS = 4000, 11000
+    fr = rng.integers(0, NBUS, N).astype(np.int32)
+    to = rng.integers(0, NBUS, N).astype(np.int32)
+    setup = build_kr_window_setup(fr, to, NBUS)
+    assert setup is not None and setup["W"] > 2 * setup["S"]
+    vf = jnp.asarray(rng.standard_normal((N, 8)) * 1e3, jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((N, 8)) * 1e3, jnp.float32)
+
+    got = np.asarray(jax.jit(
+        lambda a, b: kr_scatter_windowed(a, b, setup, NBUS))(vf, vt))
+    ref = np.zeros((NBUS, 8))
+    np.add.at(ref, fr, np.asarray(vf, np.float64))
+    np.add.at(ref, to, np.asarray(vt, np.float64))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6

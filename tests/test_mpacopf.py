@@ -83,3 +83,47 @@ def test_case9_mpacopf_projection(case9_path):
             w_by_bus.setdefault(int(b), []).append(v_line[i, 4])
         for b, ws in w_by_bus.items():
             assert np.ptp(ws) < 1e-12
+
+
+def test_mpacopf_projection_uses_period_loads(case9_path):
+    """Projection must solve each period's power flow with THAT period's
+    loads (advisor r4 high: solve_pf_core read base-case data.Pd/Qd and
+    silently projected onto the wrong power flow). load_scale=1.3 makes
+    every period's demand differ materially from the base case; the
+    projected state must balance against the scaled loads."""
+    from exaadmm_tpu.models.pf.newton import build_ybus
+    import scipy.sparse as sp
+
+    prefix = os.path.join(os.path.dirname(case9_path), "case9_demand")
+    res = solve_mpacopf(
+        case9_path, prefix,
+        start_period=1, end_period=2,
+        rho_pq=4e2, rho_va=4e4, outer_iterlim=25, outer_eps=2e-4,
+        verbose=0, use_projection=True, load_scale=1.3,
+    )
+    assert res.info.pf_residual < 1e-6
+    data = res.data
+    Ybus = build_ybus(data)
+    Cg = sp.coo_matrix(
+        (np.ones(data.ngen), (data.gen_bus, np.arange(data.ngen))),
+        shape=(data.nbus, data.ngen)).tocsr()
+    fr = np.asarray(res.model.grid.line_from)
+    to = np.asarray(res.model.grid.line_to)
+    for t in range(2):
+        v_line = np.asarray(res.solution.acopf.v.line[t])
+        v_gen = np.asarray(res.solution.acopf.v.gen[t])
+        vm2 = np.zeros(data.nbus)
+        va = np.zeros(data.nbus)
+        vm2[fr], vm2[to] = v_line[:, 4], v_line[:, 5]
+        va[fr], va[to] = v_line[:, 6], v_line[:, 7]
+        V = np.sqrt(vm2) * np.exp(1j * va)
+        S = V * np.conj(Ybus @ V)
+        Sgen = Cg @ (v_gen[:, 0] + 1j * v_gen[:, 1])
+        Sload_t = (np.asarray(res.model.Pd[t])
+                   + 1j * np.asarray(res.model.Qd[t])) / data.baseMVA
+        mis = S - Sgen + Sload_t
+        # balanced against the period-t (scaled) loads at every bus
+        assert np.abs(mis).max() < 1e-5, f"period {t}: {np.abs(mis).max()}"
+        # and demonstrably NOT balanced against the base-case loads
+        mis_base = S - Sgen + (data.Pd + 1j * data.Qd) / data.baseMVA
+        assert np.abs(mis_base).max() > 1e-2

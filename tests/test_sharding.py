@@ -169,8 +169,10 @@ def test_bus_backend_auto_resolution():
     par = Parameters()
     assert resolve_bus_backend(par, jnp.float32, 9241) == "kr"
     assert resolve_bus_backend(par, jnp.float64, 9241) == "segsum"
-    # huge grids: windowed KR over bus-sorted arcs (falls back to segsum at
-    # the call site when no static setup was precomputed)
-    assert resolve_bus_backend(par, jnp.float32, 70656) == "kr_win"
+    # huge grids: exact segment_sum (the windowed KR variant measured slower
+    # at synth-70k — 79.4 vs 84.9 it/s — and stays an explicit opt-in)
+    assert resolve_bus_backend(par, jnp.float32, 70656) == "segsum"
     par2 = Parameters(bus_backend="segsum")
     assert resolve_bus_backend(par2, jnp.float32, 9241) == "segsum"
+    par3 = Parameters(bus_backend="kr_win")
+    assert resolve_bus_backend(par3, jnp.float32, 70656) == "kr_win"
