@@ -70,35 +70,42 @@ def kr_scatter(vals, ids, nbus: int):
     dt = vals.dtype
     hi = ids // Lw
     lo = ids % Lw
-    Ahi = (hi[:, None] == jnp.arange(Hn, dtype=ids.dtype)[None, :]).astype(dt)
+    Ahi = (hi[:, None] == jnp.arange(Hn, dtype=ids.dtype)[None, :]).astype(
+        jnp.bfloat16)
     Alo = (lo[:, None] == jnp.arange(Lw, dtype=ids.dtype)[None, :]).astype(
         jnp.bfloat16)
     n, W = vals.shape
-    D = (Ahi[:, :, None] * vals[:, None, :]).reshape(n, Hn * W)
-    # three-term bf16 split of the data operand (~24 mantissa bits, i.e.
-    # full fp32): the 2-term split's ~3e-6 aggregation error is NOT benign —
-    # it acts as persistent noise in the consensus step, floors the inner
-    # primal residual, and measurably degrades full-solve convergence at
-    # 9241 scale (mismatch 1.14 vs 0.13 at the 20-outer limit, with 1.4x
-    # the inner iterations). The one-hot operand is exact in bf16.
+    # Three-term bf16 split of the data (~24 mantissa bits, i.e. full fp32):
+    # the 2-term split's ~3e-6 aggregation error is NOT benign — it acts as
+    # persistent noise in the consensus step, floors the inner primal
+    # residual, and measurably degrades full-solve convergence at 9241 scale
+    # (mismatch 1.14 vs 0.13 at the 20-outer limit, with 1.4x the inner
+    # iterations).
+    # The split runs on the NARROW (n, W) data before the Khatri-Rao
+    # expansion — numerically identical to splitting the expanded product
+    # (the one-hot factor is exact 0/1 in bf16, multiplication by it is
+    # exact), but the expansion then materializes three bf16 (n, Hn*W)
+    # operands instead of one f32 + three bf16 (~2.3x less HBM traffic;
+    # the scatter is bandwidth-bound on the expansion, not MXU-bound).
     # optimization_barrier around each bf16 term: under jit, XLA's
     # excess-precision simplifier treats f32->bf16->f32 round-trips as
-    # value-preserving and cancels `D - f32(bf16(D))` to zero, silently
+    # value-preserving and cancels `v - f32(bf16(v))` to zero, silently
     # collapsing the split to a single bf16 pass (observed: consensus error
     # jumped to bf16-grade ~2e-3, which the 2x2 bus solve amplifies by ~rho,
     # flooring the inner primal residual at ~5e-2 so eps_pri was never
     # reached again — eager/unfused runs don't fire the pass, which is why
     # standalone accuracy checks passed at 6e-8).
-    D1 = jax.lax.optimization_barrier(D.astype(jnp.bfloat16))
-    r1 = D - D1.astype(dt)
-    D2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-    D3 = (r1 - D2.astype(dt)).astype(jnp.bfloat16)
+    v1 = jax.lax.optimization_barrier(vals.astype(jnp.bfloat16))
+    r1 = vals - v1.astype(dt)
+    v2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    v3 = (r1 - v2.astype(dt)).astype(jnp.bfloat16)
 
-    def dot(a):
-        return jax.lax.dot_general(a, Alo, (((0,), (0,)), ((), ())),
+    def dot(v):
+        D = (Ahi[:, :, None] * v[:, None, :]).reshape(n, Hn * W)
+        return jax.lax.dot_general(D, Alo, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    agg = dot(D1) + dot(D2) + dot(D3)
+    agg = dot(v1) + dot(v2) + dot(v3)
     agg = agg.reshape(Hn, W, Lw).transpose(0, 2, 1).reshape(Hn * Lw, W)
     return agg[:nbus].astype(dt)
 
@@ -173,22 +180,23 @@ def kr_scatter_windowed(vals_fr, vals_to, setup, nbus: int):
     v = big[setup["order"]].reshape(T, A, C)
     Ahi, Alo = setup["Ahi"], setup["Alo"]
 
-    # D[t, a, (c, h)] = v[t, a, c] * Ahi[t, a, h], c-major columns
-    D = (v[:, :, :, None] * Ahi.astype(dt)[:, :, None, :]).reshape(
-        T, A, C * Hw)
     # 3-term bf16 split with optimization barriers — same precision story as
-    # kr_scatter (XLA would otherwise cancel the residuals under jit)
-    D1 = jax.lax.optimization_barrier(D.astype(jnp.bfloat16))
-    r1 = D - D1.astype(dt)
-    D2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-    D3 = (r1 - D2.astype(dt)).astype(jnp.bfloat16)
+    # kr_scatter (XLA would otherwise cancel the residuals under jit); the
+    # split runs on the narrow (T, A, C) data before the KR expansion
+    # (identical values: the one-hot factor is exact 0/1 in bf16)
+    v1 = jax.lax.optimization_barrier(v.astype(jnp.bfloat16))
+    r1 = v - v1.astype(dt)
+    v2 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    v3 = (r1 - v2.astype(dt)).astype(jnp.bfloat16)
 
-    def dot(a):
+    def dot(vk):
+        # D[t, a, (c, h)] = vk[t, a, c] * Ahi[t, a, h], c-major columns
+        D = (vk[:, :, :, None] * Ahi[:, :, None, :]).reshape(T, A, C * Hw)
         return jax.lax.dot_general(
-            a, Alo, (((1,), (1,)), ((0,), (0,))),
+            D, Alo, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    out = dot(D1) + dot(D2) + dot(D3)               # (T, C*Hw, 128)
+    out = dot(v1) + dot(v2) + dot(v3)               # (T, C*Hw, 128)
     slabs = jops.segment_sum(out.reshape(T, -1), setup["slot"],
                              num_segments=K).reshape(K, C, Hw, 128)
     # combine: each slab spans W = m*S buses starting at its slot; chunk j
@@ -281,8 +289,12 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
         agg = kr_scatter_pallas(line_contrib, line_contrib_to, fr, to,
                                 nbus=nbus)
     elif bus_backend == "kr":
-        agg = (kr_scatter(line_contrib, fr, nbus)
-               + kr_scatter(line_contrib_to, to, nbus))
+        # one contraction over the 2N stacked arcs instead of two N-row
+        # calls: halves the per-call one-hot/reshape overheads and lets the
+        # MXU run one longer matmul
+        agg = kr_scatter(
+            jnp.concatenate([line_contrib, line_contrib_to], axis=0),
+            jnp.concatenate([fr, to], axis=0), nbus)
     else:
         agg = seg(line_contrib, fr) + seg(line_contrib_to, to)
     if axis_name is not None:

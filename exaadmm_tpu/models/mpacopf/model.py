@@ -159,30 +159,23 @@ class ModelMpacopf:
         return sol.replace(acopf=ac, ramp=sol.ramp.replace(z_prev=sol.ramp.z))
 
     # -- x update ---------------------------------------------------------
-    def update_x(self, sol: SolutionMpacopf, inner_iter, axis_name=None,
-                 pg_bounds=None):
+    def _ramp_alm_update(self, sol: SolutionMpacopf, inner_iter):
+        """Batched 3-var ramp generator ALM for periods 2..T
+        (mpacopf_auglag_generator_kernel_cpu.jl:18-131), x=(p_t, phat_{t-1},
+        s_t) with the generator-local equality p_t - phat - s = 0.
+
+        Runs through the same backend selection and lockstep step budget as
+        the branch batch: unbounded XLA lockstep on this (T-1)*ngen batch was
+        the mpacopf throughput cliff — each inner iteration dragged the whole
+        batch through max-over-lanes ALM rounds of tiny (3, B) ops while the
+        39k-line branch batch sat idle (~60ms of the measured 72ms/iter at
+        synth-2869 T=8). fp64 (parity) runs keep the unbounded XLA path:
+        step caps default to None and Pallas is fp32-only.
+        """
         gd = self.grid
         T, ngen = self.T, gd.ngen
         ac, rp = sol.acopf, sol.ramp
         dtype = ac.u.gen.dtype
-
-        # qg: closed form for ALL periods (reference does it inside both the
-        # plain and the ALM generator kernels)
-        lq, rq = ac.l.gen[..., 1], ac.rho.gen[..., 1]
-        qg = jnp.clip((-(lq + rq * (-ac.v.gen[..., 1] + ac.z.gen[..., 1]))) / rq,
-                      gd.qgmin, gd.qgmax)
-
-        # pg period 1: plain closed form (standard ModelMpacopf dispatches the
-        # single-period generator kernel for t=1)
-        lp0, rp0 = ac.l.gen[0, :, 0], ac.rho.gen[0, :, 0]
-        pg0 = jnp.clip(
-            (-(self.c1_eff * gd.baseMVA + lp0
-               + rp0 * (-ac.v.gen[0, :, 0] + ac.z.gen[0, :, 0])))
-            / (2.0 * self.c2_eff * gd.baseMVA**2 + rp0),
-            gd.pgmin, gd.pgmax,
-        )
-
-        # pg periods 2..T: batched 3-var ALM x=(p_t, phat_{t-1}, s_t)
         B = (T - 1) * ngen
 
         def flat(a):  # (T-1, ngen) slices for t>=2
@@ -225,16 +218,56 @@ class ModelMpacopf:
         ], 0)
 
         eps = float(jnp.finfo(dtype).eps)
-        xi0 = jnp.where(inner_iter <= 1, jnp.full((B,), 10.0, dtype), flat(rp.alm_xi))
-        res = tron_alm_batched(
+        xi0 = jnp.where(inner_iter <= 1, jnp.full((B,), 10.0, dtype),
+                        flat(rp.alm_xi))
+        use_pallas = (self.par.branch_backend == "pallas"
+                      and dtype == jnp.float32)
+        if use_pallas:
+            from ...ops.tron_pallas import tron_alm_batched_pallas as _solver
+            extra = {"tile": min(self.par.pallas_tile, max(256, B))}
+        else:
+            _solver = tron_alm_batched
+            extra = {}
+        return _solver(
             gen_obj, gen_cons, x0, xl, xu, gparams,
             flat(rp.alm_mu)[None, :], xi0,
             gtol=max(self.par.tron_gtol, 40 * eps),
             frtol=max(self.par.tron_frtol, 10 * eps),
             ctol=max(self.par.alm_ctol, 300 * eps),
-            mu_max=self.par.mu_max, max_minor=self.par.tron_max_minor,
+            # same dtype-aware conditioning cap as the branch batch
+            # (models/acopf/branch.py): no-op in fp64 (0.1/eps ~ 4.5e14)
+            mu_max=min(self.par.mu_max, 0.1 / eps),
+            max_minor=self.par.tron_max_minor,
             max_auglag=self.par.max_auglag,
+            step_cap=self.par.tron_step_cap,
+            **extra,
         )
+
+    def update_x(self, sol: SolutionMpacopf, inner_iter, axis_name=None,
+                 pg_bounds=None):
+        gd = self.grid
+        T, ngen = self.T, gd.ngen
+        ac, rp = sol.acopf, sol.ramp
+        dtype = ac.u.gen.dtype
+
+        # qg: closed form for ALL periods (reference does it inside both the
+        # plain and the ALM generator kernels)
+        lq, rq = ac.l.gen[..., 1], ac.rho.gen[..., 1]
+        qg = jnp.clip((-(lq + rq * (-ac.v.gen[..., 1] + ac.z.gen[..., 1]))) / rq,
+                      gd.qgmin, gd.qgmax)
+
+        # pg period 1: plain closed form (standard ModelMpacopf dispatches the
+        # single-period generator kernel for t=1)
+        lp0, rp0 = ac.l.gen[0, :, 0], ac.rho.gen[0, :, 0]
+        pg0 = jnp.clip(
+            (-(self.c1_eff * gd.baseMVA + lp0
+               + rp0 * (-ac.v.gen[0, :, 0] + ac.z.gen[0, :, 0])))
+            / (2.0 * self.c2_eff * gd.baseMVA**2 + rp0),
+            gd.pgmin, gd.pgmax,
+        )
+
+        # pg periods 2..T: batched 3-var ALM x=(p_t, phat_{t-1}, s_t)
+        res = self._ramp_alm_update(sol, inner_iter)
         pg_rest = res.x[0].reshape(T - 1, ngen)
         phat = res.x[1].reshape(T - 1, ngen)
         s_new = res.x[2].reshape(T - 1, ngen)

@@ -220,16 +220,13 @@ def test_qpsub_reduced_fgh_matches_autodiff(case9_path, qp_inputs):
     rL = jnp.asarray(rng.uniform(1.0, 5.0, (nl, 8)))
     vz = jnp.asarray(rng.standard_normal((nl, 8)))
     supY6 = m.supY8[:, :, 2:]
-    A_br = m.Hs + jnp.einsum("lk,lki,lkj->lij", rL[:, :4], supY6, supY6)
-    A_br = A_br + jnp.concatenate(
-        [jnp.zeros((nl, 2), dt), rL[:, 4:]], axis=1)[:, :, None] * \
-        jnp.eye(6, dtype=dt)[None]
     coef = lL[:, :4] - rL[:, :4] * (vz[:, :4] - m.line_res)
     b_br = jnp.einsum("lk,lki->li", coef, supY6)
     b_br = b_br + jnp.concatenate(
         [jnp.zeros((nl, 2), dt), lL[:, 4:] - rL[:, 4:] * vz[:, 4:]], axis=1)
 
-    params = Q._reduced_qp_params(m, A_br, b_br, nl, dt)
+    cache = Q._qp_solve_constants(m, rL)
+    params = Q._reduced_qp_params(m, cache, b_br, nl, dt)
     obj, cons, fgh = Q._reduced_qp_fns()
 
     x = jnp.asarray(rng.standard_normal((6, nl)))

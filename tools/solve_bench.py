@@ -15,6 +15,14 @@ compile time is not a property of the solver).
 Env knobs: SOLVE_BENCH_CASES="9241,70000" (synthetic bus counts),
 SOLVE_BENCH_OUTERS (default 40), SOLVE_BENCH_EPS (default 2e-4),
 SOLVE_BENCH_DTYPE=fp32|fp64 (fp64 forces the XLA branch backend),
+SOLVE_BENCH_RHO_PQ / SOLVE_BENCH_RHO_VA (default 4e2 / 4e4 — the reference
+tunes rho per case, README.md:54-65: 9241pegase wants 5e1/5e3),
+SOLVE_BENCH_TWO_PASS=0 to disable pass-1 truncation (full-budget control),
+SOLVE_BENCH_LINE_RATIO (synthetic nline/nbus, default 1.7),
+SOLVE_BENCH_DRIVER=fused|host (default fused; host steps the outer loop on
+the host, one dispatch per outer round — bit-identical trajectory, needed
+for very long fp64 solves where one whole-solve dispatch exceeds what the
+axon tunnel tolerates),
 SOLVE_BENCH_OUT (write the JSON to a file as well as stdout).
 """
 
@@ -35,14 +43,18 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def run_case(nbus: int, outers: int, eps: float):
-    from exaadmm_tpu.algorithms.admm_two_level import make_fused_solver
+    from exaadmm_tpu.algorithms.admm_two_level import (admm_two_level,
+                                                       make_fused_solver,
+                                                       make_inner_loop)
     from exaadmm_tpu.models.acopf import model as M
-    from exaadmm_tpu.utils.environment import Parameters
+    from exaadmm_tpu.utils.environment import IterationInformation, Parameters
     from exaadmm_tpu.utils.synthetic import synthetic_case
 
     dtype = jnp.float64 if USE_F64 else jnp.float32
-    data = synthetic_case(nbus, seed=0)
+    line_ratio = float(os.environ.get("SOLVE_BENCH_LINE_RATIO", 1.7))
+    data = synthetic_case(nbus, seed=0, line_ratio=line_ratio)
     par = Parameters(
+        branch_two_pass=os.environ.get("SOLVE_BENCH_TWO_PASS", "1") == "1",
         verbose=0,
         tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
         branch_backend="xla" if USE_F64 else "pallas",
@@ -58,33 +70,54 @@ def run_case(nbus: int, outers: int, eps: float):
     )
     model = M.build_model(data, par, dtype=dtype)
     par.scale = 1e-4
-    run = make_fused_solver(model)
     gd = model.grid
-    args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
     sqrt_d = float(model.nvar) ** 0.5
 
-    def solve():
-        sol = M.init_solution(model, 400.0, 40000.0)
-        t0 = time.perf_counter()
-        out = run(sol, 1e3, *args)
-        jax.block_until_ready(out)
-        return out, time.perf_counter() - t0
+    rho_pq = float(os.environ.get("SOLVE_BENCH_RHO_PQ", 4e2))
+    rho_va = float(os.environ.get("SOLVE_BENCH_RHO_VA", 4e4))
+    driver = os.environ.get("SOLVE_BENCH_DRIVER", "fused")
 
-    out, _ = solve()        # compile + first run
-    out, secs = solve()     # timed run on the cached executable
+    if driver == "host":
+        run_inner = make_inner_loop(model, par.inner_iterlim)
+
+        def solve():
+            sol = M.init_solution(model, rho_pq, rho_va)
+            info = IterationInformation()
+            t0 = time.perf_counter()
+            sol, info = admm_two_level(model, sol, info, run_inner=run_inner)
+            return info, time.perf_counter() - t0
+
+        info, _ = solve()       # compile + first run
+        info, secs = solve()    # timed run on the cached executables
+        cumul, outer = info.cumul, info.outer
+        obj, mismatch = info.objval, info.mismatch
+    else:
+        run = make_fused_solver(model)
+        args = (gd.Pd, gd.Qd, gd.pgmin, gd.pgmax)
+
+        def solve():
+            sol = M.init_solution(model, rho_pq, rho_va)
+            t0 = time.perf_counter()
+            out = run(sol, 1e3, *args)
+            jax.block_until_ready(out)
+            return out, time.perf_counter() - t0
+
+        out, _ = solve()        # compile + first run
+        out, secs = solve()     # timed run on the cached executable
+        cumul, outer = int(out.cumul), int(out.outer)
+        obj, mismatch = float(out.objval), float(out.mismatch)
 
     tol = sqrt_d * eps
-    mismatch = float(out.mismatch)
     return {
         "case": f"synth{nbus}bus_{data.nline}line",
         "secs_to_tol": round(secs, 3),
-        "cumul": int(out.cumul),
-        "outer": int(out.outer),
-        "obj": float(out.objval),
+        "cumul": cumul,
+        "outer": outer,
+        "obj": obj,
         "mismatch": mismatch,
         "tol": tol,
         "status": "Solved" if mismatch <= tol else "IterationLimit",
-        "iters_per_sec_e2e": round(int(out.cumul) / secs, 1),
+        "iters_per_sec_e2e": round(cumul / secs, 1),
     }
 
 
@@ -106,6 +139,11 @@ def main():
             "bus_backend": os.environ.get("BENCH_BUS", "auto"),
             "trial_unroll": os.environ.get("BENCH_UNROLL"),
             "backend": "xla" if USE_F64 else "pallas",
+            "rho_pq": float(os.environ.get("SOLVE_BENCH_RHO_PQ", 4e2)),
+            "rho_va": float(os.environ.get("SOLVE_BENCH_RHO_VA", 4e4)),
+            "branch_two_pass":
+                os.environ.get("SOLVE_BENCH_TWO_PASS", "1") == "1",
+            "line_ratio": float(os.environ.get("SOLVE_BENCH_LINE_RATIO", 1.7)),
         },
         "cases": [run_case(nbus, outers, eps) for nbus in cases],
     }
