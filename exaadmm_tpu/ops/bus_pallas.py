@@ -7,15 +7,18 @@ fuses the whole reduction per line tile in VMEM:
 
   per tile t (1024 lines):
     hi = ids // 128, lo = ids % 128
-    D_hi[(n), (c, h)] = onehot(hi)[n, h] * bf16(vals)[n, c]      (VPU)
-    D_lo analogous with the bf16 remainder of vals               (VPU)
-    acc[(c, h), l] += D_hi^T @ onehot(lo) + D_lo^T @ onehot(lo)  (MXU)
+    D_k[(n), (c, h)] = onehot(hi)[n, h] * v_k[n, c]   for the THREE bf16
+                       split terms v_1/v_2/v_3 of vals            (VPU)
+    acc[(c, h), l] += sum_k D_k^T @ onehot(lo)                    (MXU)
 
 with acc a (8*H, 128) f32 VMEM scratch that lives across the sequential
 grid; the (c-major, h, lane) -> (bus, c) unscramble is one small XLA
-reshape/transpose on the (8*H, 128) output. The hi/lo split of the DATA
-operand is exact because the one-hot factor is 0/1 in bf16 (~16 mantissa
-bits end to end, same accuracy as the XLA kr path: ~3e-6 rel).
+reshape/transpose on the (8*H, 128) output. The 3-term bf16 split of the
+DATA operand carries ~24 mantissa bits (full fp32) — the same split as
+``kernels.kr_scatter``; the earlier 2-term version (~3e-6 rel) was the
+precision level that measurably stalls full-solve convergence
+(kernels.py's hard-won lesson), so it is gone. The one-hot factor is
+exact 0/1 in bf16, making each term's product exact.
 
 Only worthwhile while H*8 stays small (nbus <= ~16k): the dense KR
 contraction is O(N * nbus * 8) MACs, so huge grids fall back to segment_sum
@@ -75,20 +78,21 @@ def kr_scatter_pallas(vals_fr, vals_to, fr, to, *, nbus: int,
             Alo = (lo[:, None] == lax.broadcasted_iota(
                 jnp.int32, (tile, LANES), 1)).astype(jnp.bfloat16)
             v = vals_ref[...]                         # (tile, C) f32
-            v_hi = v.astype(jnp.bfloat16)
-            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            # D in c-major column order: D[:, c*Hn + h]
-            Dhi = jnp.concatenate(
-                [Ahi * v_hi[:, r:r + 1] for r in range(C)], axis=1)
-            Dlo = jnp.concatenate(
-                [Ahi * v_lo[:, r:r + 1] for r in range(C)], axis=1)
+            # 3-term bf16 split (~24 mantissa bits; see module docstring)
+            v1 = v.astype(jnp.bfloat16)
+            r1 = v - v1.astype(jnp.float32)
+            v2 = r1.astype(jnp.bfloat16)
+            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def dot(D):
+            def dot(vk):
+                # D in c-major column order: D[:, c*Hn + h]
+                D = jnp.concatenate(
+                    [Ahi * vk[:, r:r + 1] for r in range(C)], axis=1)
                 return lax.dot_general(
                     D, Alo, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            return dot(Dhi) + dot(Dlo)                # (C*Hn, LANES)
+            return dot(v1) + dot(v2) + dot(v3)        # (C*Hn, LANES)
 
         acc_ref[...] += side(vf_ref, if_ref) + side(vt_ref, it_ref)
 
