@@ -54,6 +54,7 @@ def solve_acopf(
     branch_backend: str = "xla",
     pallas_tile: int = 1024,
     bus_backend: str = "auto",
+    mixed_precision: bool = False,
     initial_beta: float = 1e3,
     # outer-penalty escalation threshold (reference theta=0.8,
     # admm_two_level.jl:74). Iteration counts are sensitive to where the
@@ -90,6 +91,7 @@ def solve_acopf(
         branch_backend=branch_backend,
         pallas_tile=pallas_tile,
         bus_backend=bus_backend,
+        mixed_precision=mixed_precision,
     )
 
     device_ctx = (
@@ -173,6 +175,7 @@ def solve_acopf_from_env(env, **overrides):
         branch_backend=par.branch_backend,
         pallas_tile=par.pallas_tile,
         bus_backend=par.bus_backend,
+        mixed_precision=par.mixed_precision,
     )
     kwargs.update(overrides)
     return solve_acopf(env.case, **kwargs)

@@ -310,12 +310,20 @@ def branch_update(
     alm = sol.branch_alm
     active0 = gd.line_mask > 0.5
 
+    # mixed precision (Parameters.mixed_precision): fp64 solve, fp32 branch
+    # batch — the solver inputs are cast down, the solver runs in fp32
+    # (Pallas-eligible), and the iterates are cast back up so the consensus/
+    # residual accumulation stays fp64
+    out_dtype = u_line.dtype
+    mixed = par.mixed_precision and out_dtype == jnp.float64
+    solve_dt = jnp.float32 if mixed else out_dtype
+
     # dtype-aware tolerances: the reference's fp64 targets (gtol 1e-6 on the
     # scaled objective, |c| <= 1e-6 with c = p^2+q^2+s ~ O(10..100)) sit below
     # fp32 rounding noise; chasing them makes every lane spin to the ALM/minor
     # caps (observed 100x lockstep waste). Floor them at a multiple of the
-    # dtype epsilon; fp64 values are unchanged.
-    eps = float(jnp.finfo(u_line.dtype).eps)
+    # SOLVE dtype epsilon; fp64 values are unchanged.
+    eps = float(jnp.finfo(solve_dt).eps)
     gtol = max(par.tron_gtol, 40.0 * eps)
     frtol = max(par.tron_frtol, 10.0 * eps)
     ctol = max(par.alm_ctol, 300.0 * eps)
@@ -324,8 +332,23 @@ def branch_update(
     # fp32 where it makes tail lanes grind for hundreds of minor iterations)
     mu_max = min(par.mu_max, 0.1 / eps)
 
+    def _down(tree):
+        if not mixed:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(solve_dt)
+            if a.dtype == jnp.float64 else a, tree)
+
+    def _up(res):
+        if not mixed:
+            return res
+        return TronALMResult(
+            x=res.x.astype(out_dtype), lam=res.lam.astype(out_dtype),
+            mu=res.mu.astype(out_dtype), minor_iters=res.minor_iters,
+            alm_iters=res.alm_iters, cviol=res.cviol.astype(out_dtype))
+
     use_pallas = (par.branch_backend == "pallas"
-                  and u_line.dtype == jnp.float32)
+                  and solve_dt == jnp.float32)
     if use_pallas:
         from ...ops.tron_pallas import tron_alm_batched_pallas as _solver
         extra = {"tile": par.pallas_tile}
@@ -343,6 +366,8 @@ def branch_update(
         x0, xl, xu = _warm_start_x0(u_line, gd, True)
         mu0 = jnp.where(inner_iter == 1, jnp.full_like(alm.mu, 10.0), alm.mu)
         lam0 = jnp.stack([alm.lam1, alm.lam2], axis=0)
+        x0, xl, xu, params, lam0, mu0 = _down(
+            (x0, xl, xu, params, lam0, mu0))
         kw = dict(
             gtol=gtol, frtol=frtol, ctol=ctol,
             mu_max=mu_max, max_minor=par.tron_max_minor,
@@ -444,18 +469,21 @@ def branch_update(
                 step_cap=par.tron_step_cap, active0=active0,
                 **kw, **extra,
             )
+        res = _up(res)
         new_alm = BranchALMState(lam1=res.lam[0], lam2=res.lam[1], mu=res.mu)
         x = res.x
     else:
         tail_overflow = jnp.zeros((), jnp.int32)
         pass1_unfinished = jnp.zeros((), jnp.int32)
         x0, xl, xu = _warm_start_x0(u_line, gd, False)
+        x0, xl, xu, params = _down((x0, xl, xu, params))
         res = tron_batched(
             branch_obj_polar, x0, xl, xu, params,
             gtol=gtol, frtol=frtol,
             max_minor=par.tron_max_minor, step_cap=par.tron_step_cap,
             active0=active0, trial_unroll=trial_unroll,
         )
+        res = _up(res)
         new_alm = alm
         x = res.x
 

@@ -125,6 +125,14 @@ class Parameters:
     # with fp32, else xla.
     branch_backend: str = "xla"
     pallas_tile: int = 1024
+    # mixed precision: in an fp64 solve, run the branch TRON/ALM batch in
+    # fp32 (Pallas-eligible) and keep bus consensus / z / l / lz / residual
+    # accumulation in fp64. The branch x-update is ~90% of the fp64
+    # iteration cost but its iterates feed back through the fp64 consensus
+    # step, which is where the PARITY dtype table shows fp32 pays — so this
+    # recovers most of the fp32 throughput at near-fp64 quality. No effect
+    # on fp32 solves.
+    mixed_precision: bool = False
     # bus-update line->bus scatter backend: "segsum" (exact
     # jax.ops.segment_sum, row-serial on TPU) or "kr" (Khatri-Rao one-hot
     # MXU matmuls, ~2x faster at benchmark scale, ~3e-6 rel aggregation
