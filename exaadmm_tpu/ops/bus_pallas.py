@@ -100,16 +100,23 @@ def kr_scatter_pallas(vals_fr, vals_to, fr, to, *, nbus: int,
         def _():
             out_ref[...] = acc_ref[...]
 
+    # i32-typed zeros in index maps: under jax_enable_x64 a literal 0 traces
+    # as an i64 constant Mosaic cannot legalize (see tron_pallas.spec_for)
+    z32 = lambda: jnp.zeros((), jnp.int32)  # noqa: E731
     out = pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (i, z32()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (i, z32()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (z32(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (z32(), i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C * Hn, LANES), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((C * Hn, LANES), lambda i: (z32(), z32()),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C * Hn, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C * Hn, LANES), jnp.float32)],

@@ -164,7 +164,7 @@ def _newton_dir_rows(H, rhs):
 
     def cond(carry):
         d, solved, idx = carry
-        return (idx < len(LEVELS)) & jnp.any(solved < 0.5)
+        return (idx < len(LEVELS)) & (jnp.min(solved) < 0.5)
 
     def body(carry):
         d, solved, idx = carry
@@ -333,7 +333,7 @@ def tron_alm_batched(
 
             def cauchy_cond(carry):
                 a_best, cand, stop, k = carry
-                return jnp.any(stop < 0.5) & (k < _CAUCHY_ITERS)
+                return (jnp.min(stop) < 0.5) & (k < _CAUCHY_ITERS)
 
             def cauchy_body(carry):
                 a_best, cand, stop, k = carry
@@ -412,7 +412,7 @@ def tron_alm_batched(
         else:
             def prs_cond(carry):
                 aw, best_s, found, k = carry
-                return jnp.any(found < 0.5) & (k < _PRSRCH_ITERS)
+                return (jnp.min(found) < 0.5) & (k < _PRSRCH_ITERS)
 
             def prs_body(carry):
                 aw, best_s, found, k = carry
@@ -547,7 +547,11 @@ def tron_alm_batched(
         step_cap = max_minor * max_auglag
 
     def cond(st: _State):
-        return jnp.any(st.active) & (st.steps < step_cap)
+        # float reduce instead of jnp.any: Mosaic's reduce_or proxy lowering
+        # materializes an f64 temp when jax_enable_x64 is on globally
+        # (mixed-precision fp64 solves), which it then cannot lower;
+        # the masks are 0/1 floats so max/min reduces are equivalent
+        return (jnp.max(st.active) > 0.5) & (st.steps < step_cap)
 
     f0 = f_batched(x0, lam0, mu0)
     if active0 is None:

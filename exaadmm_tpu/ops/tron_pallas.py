@@ -90,7 +90,11 @@ def tron_alm_batched_pallas(
         nlead = a.ndim - 1
 
         def index_map(i, _n=nlead):
-            return (0,) * _n + (i,)
+            # i32-typed zeros: index maps are traced under the AMBIENT dtype
+            # config, and with jax_enable_x64 on (mixed-precision solves) a
+            # literal 0 becomes an i64 constant that Mosaic cannot legalize
+            # ("failed to legalize operation 'func.return'")
+            return (jnp.zeros((), jnp.int32),) * _n + (i,)
 
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
@@ -107,26 +111,34 @@ def tron_alm_batched_pallas(
     out_specs = tuple(spec_for(jnp.zeros(s.shape, s.dtype)) for s in out_shapes)
 
     def kernel(*refs):
-        (x0r, xlr, xur, lamr, mur, actr, *rest) = refs[: 6 + len(leaves)]
-        (xo, lamo, muo, mino, almo, cvo) = refs[6 + len(leaves):]
-        params_tile = jax.tree_util.tree_unflatten(
-            treedef,
-            [r[...][0] if was1d else r[...]
-             for r, was1d in zip(rest, leaf_lifted)])
-        res = tron_alm_batched(
-            obj_fn, cons_fn,
-            x0r[...], xlr[...], xur[...], params_tile,
-            lamr[...], mur[...][0],
-            active0=actr[...][0] > 0.5,
-            fgh_fn=fgh_fn,
-            **opts,
-        )
-        xo[...] = res.x
-        lamo[...] = res.lam if ncon > 0 else jnp.zeros_like(lamo[...])
-        muo[...] = res.mu[None]
-        mino[...] = res.minor_iters[None]
-        almo[...] = res.alm_iters[None]
-        cvo[...] = res.cviol[None]
+        # trace the body with x64 disabled: every tensor input is f32/i32,
+        # but under jax_enable_x64 (mixed-precision fp64 solves) Python float
+        # literals in the state machine trace as weak f64[] scalars, which
+        # Mosaic cannot lower ("only 32-bit element types can be converted
+        # to scalars"). With x64 off they trace as f32 — bit-identical to
+        # the fp32-solve path. The context must live INSIDE the kernel:
+        # pallas defers kernel tracing to jit-lowering time.
+        with jax.enable_x64(False):
+            (x0r, xlr, xur, lamr, mur, actr, *rest) = refs[: 6 + len(leaves)]
+            (xo, lamo, muo, mino, almo, cvo) = refs[6 + len(leaves):]
+            params_tile = jax.tree_util.tree_unflatten(
+                treedef,
+                [r[...][0] if was1d else r[...]
+                 for r, was1d in zip(rest, leaf_lifted)])
+            res = tron_alm_batched(
+                obj_fn, cons_fn,
+                x0r[...], xlr[...], xur[...], params_tile,
+                lamr[...], mur[...][0],
+                active0=actr[...][0] > 0.5,
+                fgh_fn=fgh_fn,
+                **opts,
+            )
+            xo[...] = res.x
+            lamo[...] = res.lam if ncon > 0 else jnp.zeros_like(lamo[...])
+            muo[...] = res.mu[None]
+            mino[...] = res.minor_iters[None]
+            almo[...] = res.alm_iters[None]
+            cvo[...] = res.cviol[None]
 
     outs = pl.pallas_call(
         kernel,

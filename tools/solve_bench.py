@@ -51,13 +51,16 @@ def run_case(nbus: int, outers: int, eps: float):
     from exaadmm_tpu.utils.synthetic import synthetic_case
 
     dtype = jnp.float64 if USE_F64 else jnp.float32
+    mixed = os.environ.get("SOLVE_BENCH_MIXED", "0") == "1"  # implies fp64
     line_ratio = float(os.environ.get("SOLVE_BENCH_LINE_RATIO", 1.7))
     data = synthetic_case(nbus, seed=0, line_ratio=line_ratio)
     par = Parameters(
+        mixed_precision=mixed,
         branch_two_pass=os.environ.get("SOLVE_BENCH_TWO_PASS", "1") == "1",
         verbose=0,
         tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
-        branch_backend="xla" if USE_F64 else "pallas",
+        # mixed precision solves fp64 state with the fp32 pallas branch batch
+        branch_backend="pallas" if (mixed or not USE_F64) else "xla",
         pallas_tile=1024,
         sort_lines=os.environ.get("BENCH_SORT", "0") == "1",
         bus_backend=os.environ.get("BENCH_BUS", "auto"),
@@ -128,9 +131,11 @@ def main():
     outers = int(os.environ.get("SOLVE_BENCH_OUTERS", 40))
     eps = float(os.environ.get("SOLVE_BENCH_EPS", 2e-4))
 
+    mixed = os.environ.get("SOLVE_BENCH_MIXED", "0") == "1"
     results = {
         "metric": "wall_secs_to_outer_tolerance_flat_start",
-        "dtype": "fp64" if USE_F64 else "fp32",
+        "dtype": ("fp64+fp32branch" if mixed
+                  else ("fp64" if USE_F64 else "fp32")),
         "outer_eps": eps,
         "outer_iterlim": outers,
         "config": {
@@ -139,7 +144,8 @@ def main():
             "sort_lines": os.environ.get("BENCH_SORT", "0") == "1",
             "bus_backend": os.environ.get("BENCH_BUS", "auto"),
             "trial_unroll": os.environ.get("BENCH_UNROLL"),
-            "backend": "xla" if USE_F64 else "pallas",
+            "backend": "pallas" if (mixed or not USE_F64) else "xla",
+            "driver": os.environ.get("SOLVE_BENCH_DRIVER", "fused"),
             "rho_pq": float(os.environ.get("SOLVE_BENCH_RHO_PQ", 4e2)),
             "rho_va": float(os.environ.get("SOLVE_BENCH_RHO_VA", 4e4)),
             "branch_two_pass":
