@@ -178,18 +178,28 @@ def update_x(model: ModelAcopf, sol: Solution, inner_iter, axis_name=None,
 
 
 def resolve_bus_backend(par, dtype, nbus=None):
-    """"auto": the dense KR contraction is O(N * nbus * 8) MACs, so it only
-    beats the O(N)-rows-serial segment_sum while nbus is moderate (kr wins
-    ~2% end-to-end at 9241 buses, in-process A/B). Beyond ~16k buses both
-    KR forms lose: the windowed variant ("kr_win", bus-sorted arcs,
-    O(N * W * 8) matmuls) measured 79.4 vs segment_sum's 84.9 it/s at
-    synthetic-70k in the same interleaved A/B — its 2N-row permutation
-    gather plus the (T, A, C*Hw) Khatri-Rao materialization outweigh the
-    scatter saving. Both stay available as explicit opt-ins."""
+    """"auto": the windowed KR scatter ("kr_win", bus-sorted arcs,
+    O(N * W * 8) MACs) for fp32 at moderate nbus, exact segment_sum
+    otherwise.
+
+    History of this policy (all same-process interleaved A/Bs at
+    tron_step_cap 12, 100-iteration dispatches): round 4's dense KR beat
+    segment_sum ~2% end-to-end at 9241 buses but its (N, ceil(nbus/128)*8)
+    Khatri-Rao materialization is O(nbus)-wide, so it lost beyond ~16k
+    buses; the round-4 windowed variant ALSO lost (79.4 vs 84.9 it/s at
+    synth-70k) because it materialized the expansion in f32 + 3 bf16
+    copies. Round 5 moved the 3-term bf16 split BEFORE the expansion
+    (~2.3x less traffic), which flips the verdict at 9241: kr_win 349.7 >
+    kr 332.1 it/s (the window bounds the expansion at W*8=64 columns vs
+    the dense form's 584). At synth-70k segment_sum still wins (92.2 vs
+    89.4 — the 2N-row permutation gather dominates there), so huge grids
+    stay row-serial-exact. Callers without a precomputed static window
+    setup (sharded local models, vmapped multi-period bus updates) fall
+    back to the dense "kr" form at the call site."""
     bb = getattr(par, "bus_backend", "auto")
     if bb == "auto":
         if dtype == jnp.float32 and nbus is not None and nbus <= 16384:
-            bb = "kr"
+            bb = "kr_win"
         else:
             bb = "segsum"
     return bb
@@ -200,8 +210,9 @@ def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=No
     setup = getattr(model, "_kr_win_setup", None)
     if bb == "kr_win" and setup is None:
         # no precomputed static window setup (sharded local model, or a
-        # degree spike at build): exact fallback
-        bb = "segsum"
+        # degree spike at build): dense-KR fallback — still the measured
+        # second-best at the sizes where auto picks kr_win
+        bb = "kr"
     v = kernels.bus_update(
         sol.u, sol.z, sol.l, sol.rho, model.grid,
         Pd=Pd, Qd=Qd, axis_name=axis_name,

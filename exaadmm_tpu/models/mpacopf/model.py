@@ -345,8 +345,8 @@ class ModelMpacopf:
 
         from ..acopf.model import resolve_bus_backend
         bb = resolve_bus_backend(self.par, dtype, gd.nbus)
-        if bb == "kr_pallas":
-            bb = "kr"  # vmapped over periods; keep the XLA KR variant
+        if bb in ("kr_pallas", "kr_win"):
+            bb = "kr"  # vmapped over periods; no static window setup here
 
         def one_period(u, z, l, rho, pd, qd, ramp):
             return kernels.bus_update(u, z, l, rho, gd, Pd=pd, Qd=qd, ramp=ramp,

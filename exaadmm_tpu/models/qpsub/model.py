@@ -314,12 +314,14 @@ class ModelQpsub:
     def update_xbar(self, sol: SolutionQpsub, Pd=None, Qd=None, axis_name=None):
         from ..acopf.model import resolve_bus_backend
         b = sol.base
+        bb = resolve_bus_backend(self.par, b.u.gen.dtype, self.grid.nbus)
+        if bb == "kr_win":
+            bb = "kr"  # no static window setup on this model
         v = kernels.bus_update(b.u, b.z, b.l, b.rho, self.grid,
                                Pd=self.Pd if Pd is None else Pd,
                                Qd=self.Qd if Qd is None else Qd,
                                axis_name=axis_name,
-                               bus_backend=resolve_bus_backend(
-                                   self.par, b.u.gen.dtype, self.grid.nbus))
+                               bus_backend=bb)
         return sol.replace(base=b.replace(v=v), v_prev=b.v)
 
     def update_l_single(self, sol: SolutionQpsub):

@@ -25,8 +25,12 @@ def main():
 
     nbus = int(os.environ.get("BENCH_NBUS", 9241))
     data = synthetic_case(nbus, seed=0)
-    par = Parameters(verbose=0, tron_step_cap=24, branch_backend="pallas",
-                     pallas_tile=1024, sort_lines=True,
+    par = Parameters(verbose=0,
+                     tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
+                     branch_backend="pallas",
+                     pallas_tile=1024,
+                     sort_lines=os.environ.get("BENCH_SORT", "0") == "1",
+                     bus_backend=os.environ.get("BENCH_BUS", "auto"),
                      inner_iterlim=20, outer_iterlim=5, outer_eps=0.0)
     model = M.build_model(data, par, dtype=jnp.float32)
     sol0 = M.init_solution(model, 400.0, 40000.0)
