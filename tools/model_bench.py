@@ -78,7 +78,8 @@ def bench_mpacopf():
     """mpacopf inner iterations/s: the T x nline branch batch is the largest
     batch shape in the package (T periods solved simultaneously, coupled by
     per-generator ramp consensus)."""
-    from exaadmm_tpu.algorithms.admm_two_level import admm_two_level_fused
+    from exaadmm_tpu.algorithms.admm_two_level import (admm_two_level_fused,
+                                                       make_fused_solver)
     from exaadmm_tpu.models.mpacopf import model as mp_M
     from exaadmm_tpu.utils.environment import Parameters
     from exaadmm_tpu.utils.synthetic import synthetic_case
@@ -105,11 +106,14 @@ def bench_mpacopf():
                              start_period=1, end_period=T, dtype=dtype)
     sol = mp_M.init_solution(model, 4e2, 4e4)
 
-    # warm-up: compile + reach a mid-solve state
-    sol, info = admm_two_level_fused(model, sol)
+    # ONE compiled solver reused across reps (admm_two_level_fused with
+    # run=None builds a fresh jit closure per call — that recompiles every
+    # rep and the round-4 13.8 it/s artifact was mostly compile time)
+    run = make_fused_solver(model)
+    sol, info = admm_two_level_fused(model, sol, run=run)  # compile + warm
     best = 0.0
     for _ in range(reps):
-        sol2, info = admm_two_level_fused(model, sol)
+        sol2, info = admm_two_level_fused(model, sol, run=run)
         best = max(best, info.cumul / info.time_overall)
     print(json.dumps({
         "metric": (f"mpacopf_inner_iters_per_sec_synth{nbus}bus_"
