@@ -38,7 +38,9 @@ def main():
     from exaadmm_tpu.utils.synthetic import synthetic_case
 
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-    data = synthetic_case(NBUS, seed=0)
+    data = synthetic_case(
+        NBUS, seed=0,
+        line_ratio=float(os.environ.get("BENCH_LINE_RATIO", 1.7)))
     # the timed unit is the fused production solver: OUTERS outer rounds x
     # INNER_ITERS inner iterations in ONE dispatch (lz/beta/sort between
     # inner loops included), continuing from a warmed-up mid-solve state
@@ -67,7 +69,9 @@ def main():
                      outer_iterlim=outers,
                      outer_eps=0.0)  # never converge: fixed work per rep
     model = M.build_model(data, par, dtype=dtype)
-    sol = M.init_solution(model, 400.0, 40000.0)
+    sol = M.init_solution(model,
+                          float(os.environ.get("BENCH_RHO_PQ", 400.0)),
+                          float(os.environ.get("BENCH_RHO_VA", 40000.0)))
     par.scale = 1e-4
 
     run = make_fused_solver(model)
