@@ -59,6 +59,7 @@ def run_case(nbus: int, outers: int, eps: float):
         branch_two_pass=os.environ.get("SOLVE_BENCH_TWO_PASS", "1") == "1",
         verbose=0,
         tron_step_cap=int(os.environ.get("BENCH_STEP_CAP", 12)),
+        branch_pass1_cap=int(os.environ.get("BENCH_P1CAP", 2)),
         # mixed precision solves fp64 state with the fp32 pallas branch batch
         branch_backend="pallas" if (mixed or not USE_F64) else "xla",
         pallas_tile=1024,
@@ -140,6 +141,7 @@ def main():
         "outer_iterlim": outers,
         "config": {
             "tron_step_cap": int(os.environ.get("BENCH_STEP_CAP", 12)),
+            "branch_pass1_cap": int(os.environ.get("BENCH_P1CAP", 2)),
             "inner_iterlim": int(os.environ.get("BENCH_INNER", 1000)),
             "sort_lines": os.environ.get("BENCH_SORT", "0") == "1",
             "bus_backend": os.environ.get("BENCH_BUS", "auto"),
