@@ -203,3 +203,28 @@ def test_auto_kr_win_full_solve_matches_segsum(case9_path):
     a, b = results["segsum"], results["auto"]
     assert abs(a.cumul - b.cumul) <= 0.02 * a.cumul + 2
     assert abs(a.objval - b.objval) <= 1e-3 * abs(a.objval)
+
+
+def test_sort_lines_with_auto_kr_win(case9_path):
+    """sort_lines permutes the line batch per outer round, which invalidates
+    the static windowed-KR arc order; the sorted path must fall back to a
+    permutation-safe backend (the sorted local model drops _kr_win_setup,
+    update_xbar then uses dense kr) and still reproduce the unsorted solve."""
+    import jax.numpy as jnp
+    from exaadmm_tpu.algorithms.admm_two_level import admm_two_level_fused
+    from exaadmm_tpu.models.acopf import model as M
+    from exaadmm_tpu.utils.environment import IterationInformation, Parameters
+    from exaadmm_tpu.utils.opfdata import opf_loaddata
+
+    data = opf_loaddata(case9_path, verbose=0)
+    results = {}
+    for sort in (False, True):
+        par = Parameters(verbose=0, outer_iterlim=12, outer_eps=2e-4,
+                         scale=1e-4, bus_backend="auto", sort_lines=sort)
+        model = M.build_model(data, par, dtype=jnp.float32)
+        sol = M.init_solution(model, 4e2, 4e4)
+        sol, info = admm_two_level_fused(model, sol, IterationInformation())
+        results[sort] = info
+    a, b = results[False], results[True]
+    assert abs(a.cumul - b.cumul) <= 0.05 * a.cumul + 3
+    assert abs(a.objval - b.objval) <= 1e-3 * abs(a.objval)
