@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel, fp32 only)")
     p.add_argument("--tron-step-cap", type=int, default=None,
                    help="lockstep trust-region step budget per branch solve")
+    p.add_argument("--bus-backend", default="auto",
+                   choices=["auto", "segsum", "kr", "kr_win", "kr_pallas"],
+                   help="line->bus scatter backend (auto: windowed KR for "
+                        "fp32 at <=16k buses, exact segment_sum otherwise)")
+    p.add_argument("--mixed-precision", action="store_true",
+                   help="fp64 solve with the branch batch in fp32 "
+                        "(Pallas-eligible); consensus/residual stay fp64")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard lines over the first N devices")
     p.add_argument("--verbose", type=int, default=1)
@@ -107,6 +114,8 @@ def main(argv=None) -> int:
                             mesh=mesh,
                             tron_step_cap=args.tron_step_cap,
                             branch_backend=args.branch_backend,
+                            bus_backend=args.bus_backend,
+                            mixed_precision=args.mixed_precision,
                             **common)
     elif args.solver == "rolling":
         if not args.load_prefix:
