@@ -188,3 +188,43 @@ def test_kr_scatter_precision_survives_jit_on_device():
     np.add.at(ref, np.asarray(ids), np.asarray(vals, np.float64))
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 1e-6, f"KR scatter precision degraded under jit: {rel:.2e}"
+
+
+def test_mixed_precision_pallas_on_device():
+    """fp64 solve with the fp32 Pallas branch batch (Parameters.
+    mixed_precision) compiles and converges on hardware — covers the
+    x64-mode Mosaic lowering pitfalls (i64 index-map constants, f64 temps
+    in bool-reduce proxies) that only fire with jax_enable_x64 on. Runs in
+    a subprocess so the x64 flag does not leak into the fp32 session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import json
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from exaadmm_tpu.algorithms.admm_two_level import admm_two_level_fused
+from exaadmm_tpu.models.acopf import model as M
+from exaadmm_tpu.utils.environment import IterationInformation, Parameters
+from exaadmm_tpu.utils.synthetic import synthetic_case
+
+data = synthetic_case(300, seed=3)
+par = Parameters(verbose=0, tron_step_cap=12, branch_backend="pallas",
+                 pallas_tile=256, scale=1e-4, outer_iterlim=30,
+                 outer_eps=2e-4, mixed_precision=True)
+model = M.build_model(data, par, dtype=jnp.float64)
+sol = M.init_solution(model, 3e3, 3e5)
+sol, info = admm_two_level_fused(model, sol, IterationInformation())
+print(json.dumps({"status": info.status, "objval": info.objval,
+                  "dtype": str(sol.u.line.dtype)}))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["dtype"] == "float64"
+    assert res["status"] == "Solved", res
