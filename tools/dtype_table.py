@@ -9,8 +9,11 @@ requested dtype and prints one JSON line per case:
 Run once per dtype/platform:
     DTYPE_TABLE=fp64 JAX_PLATFORMS=cpu python tools/dtype_table.py
     DTYPE_TABLE=fp32 python tools/dtype_table.py            # axon TPU
-The fp32 rows use the production config (pallas branch kernel + kr bus
-backend on TPU); fp64 rows use the XLA backend (reference-faithful).
+    DTYPE_TABLE=mixed python tools/dtype_table.py           # axon TPU
+The fp32 rows use the production config (pallas branch kernel + auto bus
+backend on TPU); fp64 rows use the XLA backend (reference-faithful);
+"mixed" = fp64 state with the fp32 pallas branch batch
+(Parameters.mixed_precision).
 """
 
 import json
@@ -22,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DT = os.environ.get("DTYPE_TABLE", "fp32")
 import jax  # noqa: E402
 
-if DT == "fp64":
+if DT in ("fp64", "mixed"):
     jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
@@ -33,12 +36,13 @@ def run_case(name, build):
     from exaadmm_tpu.models.acopf import model as M
     from exaadmm_tpu.utils.environment import Parameters
 
-    dtype = jnp.float64 if DT == "fp64" else jnp.float32
+    dtype = jnp.float64 if DT in ("fp64", "mixed") else jnp.float32
     platform = jax.devices()[0].platform
     data, rho_pq, rho_va, outers = build()
     par = Parameters(
         verbose=0, outer_iterlim=outers, outer_eps=2e-4, scale=1e-4,
-        branch_backend="pallas" if (dtype == jnp.float32
+        mixed_precision=(DT == "mixed"),
+        branch_backend="pallas" if ((dtype == jnp.float32 or DT == "mixed")
                                     and platform != "cpu") else "xla",
     )
     model = M.build_model(data, par, dtype=dtype)
