@@ -88,9 +88,15 @@ def main(argv=None) -> int:
     if args.fp32 and args.fp64:
         print("--fp32 and --fp64 are mutually exclusive", file=sys.stderr)
         return 2
+    if getattr(args, "mixed_precision", False) and args.fp32:
+        print("--mixed-precision needs the fp64 state (it casts only the "
+              "branch batch down); drop --fp32", file=sys.stderr)
+        return 2
     # reference-grade fp64 by default on CPU; native fp32 on accelerators
-    # (fp64 there is software-emulated — opt in with --fp64)
-    if args.fp64 or (not args.fp32 and jax.default_backend() == "cpu"):
+    # (fp64 there is software-emulated — opt in with --fp64);
+    # --mixed-precision implies the fp64 state
+    if (args.fp64 or getattr(args, "mixed_precision", False)
+            or (not args.fp32 and jax.default_backend() == "cpu")):
         jax.config.update("jax_enable_x64", True)
 
     import exaadmm_tpu as X

@@ -70,6 +70,11 @@ def _one_level_while(model, sol, outer_tol, dual_tol, outer_iterlim,
                      axis_name=None) -> OneLevelCarry:
     """The whole one-level solve as a single while-loop (shared by the
     single-device and the shard_map drivers)."""
+    if hasattr(model, "solve_prep"):
+        # model-specific loop-invariant precomputation from the actual
+        # solve inputs (e.g. qpsub's rho-only QP constants) — traced here,
+        # OUTSIDE the while_loop, so XLA hoists it
+        model = model.solve_prep(sol)
     dtype = sol.base.u.gen.dtype if hasattr(sol, "base") else sol.u.gen.dtype
 
     def cond(c):

@@ -72,6 +72,14 @@ def solve_acopf(
     ``pad_lines_to`` then defaults to the mesh size.
     """
     dtype = dtype or _default_dtype()
+    if mixed_precision and dtype != jnp.float64:
+        # without this the flag is a silent no-op: branch_update only
+        # activates mixed mode on fp64 state, so an fp32 session would run
+        # a plain fp32 solve while reporting mixed-precision quality
+        raise ValueError(
+            "mixed_precision=True needs an fp64 solve (the branch batch is "
+            "cast DOWN to fp32): enable jax_enable_x64 or pass "
+            "dtype=jnp.float64")
     data = opf_loaddata(case, case_format=case_format, verbose=verbose)
     if mesh is not None and pad_lines_to == 1:
         pad_lines_to = int(mesh.devices.size)

@@ -128,6 +128,7 @@ def build_kr_window_setup(fr, to, nbus: int, *, A: int = 1024, S: int = 512):
     """
     import numpy as np
 
+    fr_in, to_in = fr, to
     fr = np.asarray(fr)
     to = np.asarray(to)
     arcs = np.concatenate([fr, to])
@@ -165,6 +166,10 @@ def build_kr_window_setup(fr, to, nbus: int, *, A: int = 1024, S: int = 512):
         "Alo": jnp.asarray(Alo, jnp.bfloat16),
         "slot": jnp.asarray(slot, jnp.int32),
         "T": T, "A": A, "S": S, "W": W, "Hw": Hw, "K": K,
+        # identity of the arc arrays the static order was built from: the
+        # call site must reject a setup whose grid was permuted since build
+        # (stale arc order silently corrupts the bus aggregates)
+        "_fr_ref": fr_in, "_to_ref": to_in,
     }
 
 

@@ -208,10 +208,18 @@ def resolve_bus_backend(par, dtype, nbus=None):
 def update_xbar(model: ModelAcopf, sol: Solution, Pd=None, Qd=None, axis_name=None):
     bb = resolve_bus_backend(model.par, sol.u.gen.dtype, model.grid.nbus)
     setup = getattr(model, "_kr_win_setup", None)
+    if bb == "kr_win" and setup is not None and not (
+            setup.get("_fr_ref") is model.grid.line_from
+            and setup.get("_to_ref") is model.grid.line_to):
+        # the static arc order was built for DIFFERENT line arrays (the
+        # grid was permuted — sort_lines — or swapped since build): using
+        # it would silently corrupt the bus aggregates
+        setup = None
     if bb == "kr_win" and setup is None:
-        # no precomputed static window setup (sharded local model, or a
-        # degree spike at build): dense-KR fallback — still the measured
-        # second-best at the sizes where auto picks kr_win
+        # no (valid) precomputed static window setup (sharded local model,
+        # permuted grid, or a degree spike at build): dense-KR fallback —
+        # still the measured second-best at the sizes where auto picks
+        # kr_win
         bb = "kr"
     v = kernels.bus_update(
         sol.u, sol.z, sol.l, sol.rho, model.grid,

@@ -197,12 +197,20 @@ class ModelQpsub:
 
     def one_level_reset(self, sol: SolutionQpsub) -> SolutionQpsub:
         zero = jax.tree.map(jnp.zeros_like, sol.base.z)
-        # hoist the rho-only QP constants out of the solve loop (runs eagerly
-        # here, before the driver jits the while_loop; ~2x measured on the
-        # fused qpsub solve at synth-9241 scale)
-        self._qp_cache = _qp_solve_constants(self, sol.base.rho.line)
         return sol.replace(base=sol.base.replace(
             z=zero, z_prev=zero, lz=jax.tree.map(jnp.zeros_like, sol.base.lz)))
+
+    def solve_prep(self, sol: SolutionQpsub) -> "ModelQpsub":
+        """Driver hook (admm_one_level calls this INSIDE the jitted solve,
+        before the while_loop): returns a model carrying the rho-only QP
+        constants as loop-invariant values. Computing them from the actual
+        solve's rho makes the cache correct for ANY runtime rho (a stale
+        eager cache would silently solve the wrong QP if a pre-built run
+        were reused with different rho); being outside the while_loop, XLA
+        hoists them — ~2x measured on the fused qpsub solve at synth-9241.
+        """
+        return dataclasses.replace(
+            self, _qp_cache=_qp_solve_constants(self, sol.base.rho.line))
 
     def update_x(self, sol: SolutionQpsub, inner_iter, axis_name=None,
                  pg_bounds=None):

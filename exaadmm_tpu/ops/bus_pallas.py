@@ -45,6 +45,10 @@ def kr_scatter_pallas(vals_fr, vals_to, fr, to, *, nbus: int,
 
     vals_* are (N, C) fp32 (C = 8 here), fr/to (N,) int32 with padded lanes
     pointing at masked-out (zero) rows. Returns (nbus, C) fp32.
+
+    NOTE: with the 3-term split the per-tile intermediates (3 terms x 2
+    sides x (tile, C*Hn) bf16 KR products) can exceed Mosaic's VMEM stack
+    at tile=1024 for Hn >= ~17; use tile<=512 there.
     """
     N, C = vals_fr.shape
     assert vals_fr.dtype == jnp.float32
@@ -78,7 +82,16 @@ def kr_scatter_pallas(vals_fr, vals_to, fr, to, *, nbus: int,
             Alo = (lo[:, None] == lax.broadcasted_iota(
                 jnp.int32, (tile, LANES), 1)).astype(jnp.bfloat16)
             v = vals_ref[...]                         # (tile, C) f32
-            # 3-term bf16 split (~24 mantissa bits; see module docstring)
+            # 3-term bf16 split (~24 mantissa bits; see module docstring).
+            # NO optimization barriers: Mosaic does not lower the primitive
+            # ("Unimplemented primitive ... optimization_barrier") and,
+            # unlike XLA's excess-precision pass, does not currently cancel
+            # f32->bf16->f32 round-trips. Because that protection is
+            # compiler-behavior, an ON-DEVICE compiled-mode precision guard
+            # (tests/test_tpu_device.py::test_kr_scatter_pallas_precision_
+            # on_device) must stay alongside the interpret-mode test — it
+            # is the only mode that would catch a future Mosaic
+            # canonicalization collapsing the split.
             v1 = v.astype(jnp.bfloat16)
             r1 = v - v1.astype(jnp.float32)
             v2 = r1.astype(jnp.bfloat16)

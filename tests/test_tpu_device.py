@@ -228,3 +228,30 @@ print(json.dumps({"status": info.status, "objval": info.objval,
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["dtype"] == "float64"
     assert res["status"] == "Solved", res
+
+
+def test_kr_scatter_pallas_precision_on_device():
+    """Compiled-mode (Mosaic) precision of the experimental Pallas bus
+    scatter: the 3-term bf16 split must survive the REAL compiler, not just
+    interpret mode (Mosaic has no optimization_barrier, so nothing prevents
+    a future canonicalization from cancelling the residual terms — this
+    guard is what would catch it; kernels.py documents the XLA analogue
+    that silently collapsed the split under jit)."""
+    from exaadmm_tpu.ops.bus_pallas import kr_scatter_pallas
+
+    rng = np.random.default_rng(3)
+    N, NBUS, C = 3000, 2100, 8
+    fr = rng.integers(0, NBUS, N).astype(np.int32)
+    to = rng.integers(0, NBUS, N).astype(np.int32)
+    vf = jnp.asarray(rng.standard_normal((N, C)) * 1e3, jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((N, C)) * 1e3, jnp.float32)
+
+    # tile 512: the 3-term split's per-tile intermediates (3 x 2 sides x
+    # (tile, C*Hn) bf16 KR products) exceed Mosaic's VMEM stack at 1024
+    got = np.asarray(kr_scatter_pallas(vf, vt, jnp.asarray(fr),
+                                       jnp.asarray(to), nbus=NBUS, tile=512))
+    ref = np.zeros((NBUS, C))
+    np.add.at(ref, fr, np.asarray(vf, np.float64))
+    np.add.at(ref, to, np.asarray(vt, np.float64))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 5e-7, rel

@@ -74,7 +74,9 @@ def timeit(name, fn):
 
 a = timeit("argsort", via_argsort)
 b = timeit("top_k", via_topk)
+c = timeit("cumsum", via_cumsum)
 # sanity: same indices
 ia = np.asarray(via_argsort(unf))
 ib = np.asarray(via_topk(unf))
-print("identical:", np.array_equal(ia, ib))
+ic = np.asarray(via_cumsum(unf))
+print("identical:", np.array_equal(ia, ib), np.array_equal(ia, ic))

@@ -33,7 +33,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-USE_F64 = os.environ.get("SOLVE_BENCH_DTYPE", "fp32") == "fp64"
+USE_F64 = (os.environ.get("SOLVE_BENCH_DTYPE", "fp32") == "fp64"
+           or os.environ.get("SOLVE_BENCH_MIXED", "0") == "1")  # mixed = fp64 state
 if USE_F64:
     import jax
     jax.config.update("jax_enable_x64", True)
