@@ -68,7 +68,9 @@ def main():
                      inner_iterlim=INNER_ITERS,
                      outer_iterlim=outers,
                      outer_eps=0.0)  # never converge: fixed work per rep
-    model = M.build_model(data, par, dtype=dtype)
+    model = M.build_model(
+        data, par, dtype=dtype,
+        sort_lines_static=os.environ.get("BENCH_FRSORT", "0") == "1")
     sol = M.init_solution(model,
                           float(os.environ.get("BENCH_RHO_PQ", 400.0)),
                           float(os.environ.get("BENCH_RHO_VA", 40000.0)))

@@ -300,6 +300,13 @@ def bus_update(u: Blocks, z: Blocks, l: Blocks, rho: Blocks, gd: GridData,
         agg = kr_scatter(
             jnp.concatenate([line_contrib, line_contrib_to], axis=0),
             jnp.concatenate([fr, to], axis=0), nbus)
+    elif getattr(gd, "fr_sorted", False):
+        # statically fr-sorted lines (build_grid_data(sort_lines_static=
+        # True)): XLA's sorted-indices scatter path is ~2.1x the unsorted
+        # one (tools/bus_bench.py at 70k dims); only the fr side is sorted
+        agg = (jops.segment_sum(line_contrib, fr, num_segments=nbus,
+                                indices_are_sorted=True)
+               + seg(line_contrib_to, to))
     else:
         agg = seg(line_contrib, fr) + seg(line_contrib_to, to)
     if axis_name is not None:

@@ -90,10 +90,12 @@ def build_model(
     use_linelimit: bool = True,
     tight_factor: float = 1.0,
     pad_lines_to: int = 1,
+    sort_lines_static: bool = False,
     dtype=jnp.float64,
 ) -> ModelAcopf:
     gd = build_grid_data(
-        data, tight_factor=tight_factor, pad_lines_to=pad_lines_to, dtype=dtype
+        data, tight_factor=tight_factor, pad_lines_to=pad_lines_to,
+        sort_lines_static=sort_lines_static, dtype=dtype
     )
     model = ModelAcopf(grid=gd, par=par, use_linelimit=use_linelimit)
     if resolve_bus_backend(par, gd.pgmin.dtype, gd.nbus) == "kr_win":

@@ -71,6 +71,12 @@ class GridData:
     YshR: jnp.ndarray
     YshI: jnp.ndarray
 
+    # lines statically sorted by from-bus at build (incl. padding pointing
+    # at the last bus): the fr-side line->bus segment_sum may then use
+    # XLA's indices_are_sorted fast path (~2.1x on the scatter at 70k
+    # scale, tools/bus_bench.py). Cleared by permute_lines.
+    fr_sorted: bool = static_field(default=False)
+
 
 #: line-indexed GridData array fields (leading axis nline_padded)
 LINE_ARRAY_FIELDS = (
@@ -111,7 +117,8 @@ def permute_lines(gd: GridData, ids) -> GridData:
         if nd == 1:
             col = col[:, 0]
         out[f] = col.astype(dt)
-    return _dc.replace(gd, **out)
+    # a dynamic permutation breaks the static from-bus ordering
+    return _dc.replace(gd, fr_sorted=False, **out)
 
 
 def build_grid_data(
@@ -120,6 +127,7 @@ def build_grid_data(
     tight_factor: float = 1.0,
     ramp_ratio: float = 0.02,
     pad_lines_to: int = 1,
+    sort_lines_static: bool = False,
     dtype=jnp.float64,
 ) -> GridData:
     """Flatten an :class:`OPFData` into a device :class:`GridData`.
@@ -130,7 +138,22 @@ def build_grid_data(
       (opfdata.jl:702-713).
     - ``ramp_rate = ramp_ratio * pgmax`` (acopf_model.jl:66-67).
     - ``pad_lines_to``: pad nline up to a multiple (for sharding).
+    - ``sort_lines_static``: permanently order the line batch by from-bus
+      (the ADMM iteration is permutation-equivariant in lines, like the
+      reference's order-free per-line CUDA blocks) and mark ``fr_sorted``
+      so the fr-side bus scatter can use XLA's sorted-indices fast path.
+      Results come back in the sorted line order.
     """
+    import dataclasses as _dc
+
+    if sort_lines_static:
+        perm = np.argsort(np.asarray(data.line_from), kind="stable")
+        line_fields = ("line_from", "line_to", "YffR", "YffI", "YttR",
+                       "YttI", "YftR", "YftI", "YtfR", "YtfI", "rateA")
+        data = _dc.replace(
+            data, **{f: np.asarray(getattr(data, f))[perm]
+                     for f in line_fields})
+
     nline = data.nline
     npad = -(-nline // pad_lines_to) * pad_lines_to
 
@@ -193,7 +216,12 @@ def build_grid_data(
         YtfR=f(padf(data.YtfR)),
         YtfI=f(padf(data.YtfI)),
         rate_a=f(padf(rate_a, 1.0e3)),
-        line_from=fi(padi(data.line_from)),
+        # sorted mode: padding must keep the ids non-decreasing (padded
+        # lanes are masked out of every aggregate, their target bus is
+        # arbitrary)
+        line_from=fi(padi(data.line_from,
+                          int(np.max(data.line_from))
+                          if sort_lines_static and nline else 0)),
         line_to=fi(padi(data.line_to)),
         fr_vm_bound=f(bound2(fr_vm_lo, fr_vm_hi)),
         to_vm_bound=f(bound2(to_vm_lo, to_vm_hi)),
@@ -206,4 +234,5 @@ def build_grid_data(
         Vmax=f(data.Vmax),
         YshR=f(data.YshR),
         YshI=f(data.YshI),
+        fr_sorted=sort_lines_static,
     )

@@ -140,3 +140,37 @@ def test_mixed_precision_mode(case9_path):
     # the state itself stays fp64
     import jax.numpy as jnp
     assert mix.solution.u.line.dtype == jnp.float64
+
+
+def test_static_fr_sort_solve_matches(case9_path):
+    """build_grid_data(sort_lines_static=True) permanently orders lines by
+    from-bus (permutation-equivariant batch; enables the sorted-indices
+    scatter fast path). The solve must match the unsorted one."""
+    import jax.numpy as jnp
+    import numpy as np
+    from exaadmm_tpu.algorithms.admm_two_level import admm_two_level_fused
+    from exaadmm_tpu.models.acopf import model as M
+    from exaadmm_tpu.utils.environment import IterationInformation, Parameters
+    from exaadmm_tpu.utils.opfdata import opf_loaddata
+
+    data = opf_loaddata(case9_path, verbose=0)
+    infos = {}
+    sols = {}
+    for srt in (False, True):
+        par = Parameters(verbose=0, outer_iterlim=20, outer_eps=2e-4,
+                         scale=1e-4)
+        model = M.build_model(data, par, sort_lines_static=srt)
+        assert model.grid.fr_sorted == srt
+        if srt:
+            fr = np.asarray(model.grid.line_from)
+            assert (np.diff(fr) >= 0).all()
+        sol = M.init_solution(model, 4e2, 4e4)
+        sol, info = admm_two_level_fused(model, sol, IterationInformation())
+        infos[srt] = info
+        sols[srt] = sol
+    a, b = infos[False], infos[True]
+    assert abs(a.cumul - b.cumul) <= 2
+    assert abs(a.objval - b.objval) <= 1e-9 * abs(a.objval)
+    # gen block is line-order independent
+    np.testing.assert_allclose(np.asarray(sols[True].u.gen),
+                               np.asarray(sols[False].u.gen), atol=1e-9)
