@@ -46,6 +46,10 @@ def solve_qpsub(
     dtype=None,
     mesh=None,
     pad_lines_to: int = 1,
+    branch_backend: str = "xla",
+    pallas_tile: int = 1024,
+    tron_step_cap: int | None = None,
+    bus_backend: str = "auto",
 ) -> QpsubResult:
     """Pass ``mesh`` (a 1-D jax.sharding.Mesh) to shard the line batch and
     the per-line SQP data across devices (one-level solve in one shard_map
@@ -62,6 +66,8 @@ def solve_qpsub(
         outer_iterlim=outer_iterlim, inner_iterlim=inner_iterlim,
         obj_scale=obj_scale, scale=scale, outer_eps=outer_eps,
         verbose=verbose, initial_beta=initial_beta, beta=initial_beta,
+        branch_backend=branch_backend, pallas_tile=pallas_tile,
+        tron_step_cap=tron_step_cap, bus_backend=bus_backend,
     )
     qp_inputs = dict(
         Hs=Hs, LH_1h=LH_1h, RH_1h=RH_1h, LH_1i=LH_1i, RH_1i=RH_1i,
